@@ -1,0 +1,95 @@
+"""Char n-gram TF-IDF fit + vectorize (operator A1).
+
+Reference semantics: ``/root/reference/polyfuzz/models/_tfidf.py:102-118``
+— sklearn ``TfidfVectorizer(min_df=1, analyzer=char_ngrams)`` fit on the
+multiset ``to_list + from_list``:
+
+* N = number of fit documents (duplicates count),
+* df(t) = number of fit documents containing t,
+* idf(t) = ln((1+N)/(1+df)) + 1        (sklearn smooth_idf),
+* vector = tf(t, doc) * idf(t), L2-normalized per doc,
+* transform drops out-of-vocabulary terms **before** normalization.
+
+All stages are DataFrame-native (explode → groupBy → window); the only
+actions are two scalar ``count()``s at fit time. At cluster scale the
+(doc_id, term) explode shuffles on term for the df-aggregation — a classic
+map-side-combinable count, so partial aggregation keeps the shuffle small
+(|vocab| per mapper, not |rows|).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.ngrams import char_ngrams
+from ..functions.normalize import clean_string
+
+
+@dataclass
+class TfidfConfig:
+    n_gram_range: tuple[int, int] = (3, 3)
+    clean_string: bool = True
+    remove_space_ngrams: bool = True
+
+
+@dataclass
+class TfidfModel:
+    """Fitted state: the IDF dimension table + corpus size.
+
+    ``idf`` is a small-by-construction dimension (|vocab| ≤ alphabet^n; for
+    3-grams over [a-z0-9 ] that is ≤ 50k rows) — always broadcastable.
+    Persisted via ``save``/``load`` (parquet + JSON manifest, operator S4/S5).
+    """
+
+    idf: DataFrame  # (term: string, idf: double)
+    n_docs: int
+    config: TfidfConfig
+
+
+def doc_terms(docs: DataFrame, key_col: str, cfg: TfidfConfig,
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, term, tf) — raw term counts per document."""
+    key = clean_string(key_col) if cfg.clean_string else F.col(key_col)
+    grams = char_ngrams(
+        key, cfg.n_gram_range[0], cfg.n_gram_range[1], cfg.remove_space_ngrams
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def fit_tfidf(fit_docs: DataFrame, key_col: str = "key",
+              cfg: TfidfConfig | None = None,
+              id_col: str = "doc_id") -> TfidfModel:
+    """Fit IDF over the fit corpus (a multiset — pass to+from unioned with
+    unique doc ids; duplicate strings legitimately raise N and df, matching
+    sklearn's fit on ``to_list + from_list``)."""
+    cfg = cfg or TfidfConfig()
+    n_docs = fit_docs.count()
+    tf = doc_terms(fit_docs, key_col, cfg, id_col)
+    idf = tf.groupBy("term").agg(
+        (F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.count(F.lit(1)))) + F.lit(1.0)).alias("idf")
+    )
+    return TfidfModel(idf=idf, n_docs=n_docs, config=cfg)
+
+
+def vectorize(model: TfidfModel, docs: DataFrame, key_col: str = "key",
+              id_col: str = "doc_id") -> DataFrame:
+    """L2-normalized sparse TF-IDF vectors: (doc_id, term, weight).
+
+    The idf join is broadcast (small dimension); OOV terms drop via the
+    inner join, and the L2 norm is taken AFTER that drop — identical to
+    sklearn's transform-then-normalize. The norm uses a window over doc_id
+    (one shuffle) instead of a groupBy+join (two).
+    """
+    tf = doc_terms(docs, key_col, model.config, id_col)
+    w = tf.join(F.broadcast(model.idf), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc_id")))
+    return w.select("doc_id", "term", (F.col("w") / norm).alias("weight"))
