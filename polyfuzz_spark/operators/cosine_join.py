@@ -38,15 +38,21 @@ def sparse_cosine_pairs(
     ``exclude_self`` implements single-list mode (reference zeroes the
     diagonal, ``_utils.py:84-87,97-98``): join predicate from_id != to_id.
     """
+    # alias + rename both sides so self-match (from_vec is to_vec) never hits
+    # Spark's ambiguous self-join resolution
     f = from_vec.select(
-        F.col("doc_id").alias("from_id"), "term", F.col("weight").alias("w_from")
+        F.col("doc_id").alias("from_id"),
+        F.col("term").alias("f_term"),
+        F.col("weight").alias("w_from"),
     )
     t = to_vec.select(
-        F.col("doc_id").alias("to_id"), "term", F.col("weight").alias("w_to")
+        F.col("doc_id").alias("to_id"),
+        F.col("term").alias("t_term"),
+        F.col("weight").alias("w_to"),
     )
-    cond = [f["term"] == t["term"]]
+    cond = F.col("f_term") == F.col("t_term")
     if exclude_self:
-        cond.append(f["from_id"] != t["to_id"])
+        cond = cond & (F.col("from_id") != F.col("to_id"))
     pairs = (
         f.join(t, cond)
         .groupBy("from_id", "to_id")

@@ -1,0 +1,84 @@
+"""Grouping + connected-components tests.
+
+Golden memberships from ``/root/reference/tests/test_polyfuzz.py:74-100``;
+threshold-sweep behavior from ``/root/reference/tests/test_linkage.py:12-31``.
+Representative selection diverges deliberately (deterministic min(key)
+instead of insertion order) — membership goldens still hold.
+"""
+
+import pytest
+
+from polyfuzz_spark.api import PolyFuzzSpark
+from polyfuzz_spark.operators.linkage import connected_components
+
+
+def test_grouper_two_lists(spark, from_list, to_list):
+    model = PolyFuzzSpark("TF-IDF", spark).match(from_list, to_list)
+    model.group(link_min_similarity=0.75)
+    wide = model.matches_pandas()
+    assert list(wide.columns) == ["From", "To", "Similarity", "Group"]
+    assert len(wide) == 6
+    assert wide.Similarity.mean() > 0.3
+
+    assignments = model.get_clusters().toPandas()
+    clusters = assignments.groupby("cluster_id")["key"].apply(set).tolist()
+    assert clusters == [{"apples", "apple"}]
+    assert set(assignments.representative) == {"apple"}
+    rows = {r.From: r.Group for r in wide.itertuples()}
+    # appl matched 'apple' whose cluster representative is 'apple' (min-key)
+    assert rows["appl"] == "apple"
+    assert rows["house"] == "mouse"  # unclustered → Group falls back to To
+
+
+def test_grouper_same_list(spark, from_list):
+    model = PolyFuzzSpark("TF-IDF", spark).match(from_list, from_list)
+    model.group(link_min_similarity=0.75, group_all_strings=True)
+    assignments = model.get_clusters().toPandas()
+    clusters = assignments.groupby("cluster_id")["key"].apply(set).tolist()
+    assert clusters == [{"apples", "apple", "appl"}]
+
+
+@pytest.mark.parametrize("threshold", [0, .1, .2, .3, .4, .5, .6, .7, .8, .9, 1.0])
+def test_linkage_threshold_sweep(spark, from_list, to_list, threshold):
+    """Mirrors /root/reference/tests/test_linkage.py:12-31 — linkage applied
+    directly to the from×to matches (grouper min_similarity 0.75)."""
+    from polyfuzz_spark.api import lists_to_df
+    from polyfuzz_spark.matchers import TFIDFMatcher
+    from polyfuzz_spark.operators.linkage import filter_edges
+
+    matches = TFIDFMatcher(min_similarity=0.75).match_df(
+        lists_to_df(spark, from_list), lists_to_df(spark, to_list)
+    )
+    assignments = connected_components(filter_edges(matches, threshold)).toPandas()
+    n_clusters = assignments.cluster_id.nunique()
+    if threshold == 1.0:
+        assert len(assignments) == 0
+    elif threshold >= 0.8:
+        assert n_clusters == 2 and len(assignments) == 2
+    elif threshold >= 0.6:
+        assert n_clusters == 2 and len(assignments) == 3
+
+
+def test_connected_components_transitive(spark):
+    """Chain a-b, b-c, c-d plus isolated e-f → two components.
+
+    The reference's single pass would NOT merge a chain presented in
+    adverse order; transitive closure must (north-rule upgrade)."""
+    edges = spark.createDataFrame(
+        [("c", "d"), ("a", "b"), ("b", "c"), ("e", "f")], "src string, dst string"
+    )
+    out = connected_components(edges).toPandas()
+    comp = out.groupby("representative")["key"].apply(set).to_dict()
+    assert comp == {"a": {"a", "b", "c", "d"}, "e": {"e", "f"}}
+    # cluster_id is content-derived (stable across runs/partitionings)
+    assert out[out.key == "d"].cluster_id.iloc[0] == out[
+        out.key == "a"
+    ].cluster_id.iloc[0]
+
+
+def test_connected_components_empty_string_key(spark):
+    # reference linkage.py breaks on falsy keys; we must not
+    edges = spark.createDataFrame([("", "x")], "src string, dst string")
+    out = connected_components(edges).toPandas()
+    assert set(out.key) == {"", "x"}
+    assert set(out.representative) == {""}
