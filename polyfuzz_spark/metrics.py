@@ -1,0 +1,112 @@
+"""Evaluation metrics (operators A4, A6 + north-rule pairwise F1).
+
+Reference: ``/root/reference/polyfuzz/metrics.py:39-53`` — threshold sweep
+producing (min_precision, recall, average_precision); length contract
+``int(1/step)+1`` rows (``tests/test_metrics.py:20-27``). Pairwise F1 on
+labeled candidate pairs is the BASELINE.json acceptance metric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def precision_recall_curve(
+    matches: DataFrame, precision_step: float = 0.01
+) -> DataFrame:
+    """(min_precision, recall, average_precision), one row per threshold
+    0.0..1.0. recall = |sim ≥ t| / |matches|; average_precision =
+    mean(sim | sim ≥ t) (NULL when the selection is empty — the reference
+    emits NaN via a suppressed numpy warning).
+
+    Single crossJoin of the (tiny, broadcast) threshold table against the
+    similarity column; one shuffle for the groupBy."""
+    spark = matches.sparkSession
+    n = int(1 / precision_step)
+    ths = spark.range(n + 1).select(
+        (F.col("id") * F.lit(precision_step)).alias("min_precision")
+    )
+    sims = matches.select(F.col("similarity").alias("sim"))
+    hit = F.when(F.col("sim") >= F.col("min_precision"), F.col("sim"))
+    return (
+        sims.crossJoin(F.broadcast(ths))
+        .groupBy("min_precision")
+        .agg(
+            (F.count(hit) / F.count(F.lit(1))).alias("recall"),
+            F.avg(hit).alias("average_precision"),
+        )
+        .orderBy("min_precision")
+    )
+
+
+def score_distribution(pairs: DataFrame, sim_col: str = "sim") -> DataFrame:
+    """A6 — per-stage score distribution written next to each checkpoint."""
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(sim_col).alias("mean"),
+        F.min(sim_col).alias("min"),
+        F.max(sim_col).alias("max"),
+        F.percentile_approx(
+            sim_col, F.array(*[F.lit(x) for x in (0.5, 0.9, 0.99)])
+        ).alias("p50_p90_p99"),
+    )
+
+
+def pairwise_f1(
+    candidates: DataFrame,
+    labels: DataFrame,
+    assignments: DataFrame,
+) -> dict:
+    """Pairwise precision/recall/F1 on labeled candidate pairs (pairs that
+    share a blocking key — the BASELINE metric scope).
+
+    candidates: (from_id, to_id)      — from blocking
+    labels:     (doc_id, entity_id)   — ground truth (evaluation only)
+    assignments:(doc_id, cluster_id)  — pipeline output
+
+    A pair is positive when entity_ids match; predicted-positive when both
+    sides landed in the same cluster.
+    """
+    cand = (
+        candidates.where(F.col("from_id") < F.col("to_id"))
+        .select("from_id", "to_id")
+        .distinct()
+    )
+    lab = lambda side: labels.select(
+        F.col("doc_id").alias(side), F.col("entity_id").alias(f"e_{side}")
+    )
+    asg = lambda side: assignments.select(
+        F.col("doc_id").alias(side), F.col("cluster_id").alias(f"c_{side}")
+    )
+    scored = (
+        cand.join(lab("from_id"), "from_id")
+        .join(lab("to_id"), "to_id")
+        .join(asg("from_id"), "from_id", "left")
+        .join(asg("to_id"), "to_id", "left")
+        .select(
+            (F.col("e_from_id") == F.col("e_to_id")).alias("actual"),
+            (
+                F.col("c_from_id").isNotNull()
+                & (F.col("c_from_id") == F.col("c_to_id"))
+            ).alias("predicted"),
+        )
+    )
+    row = scored.agg(
+        F.count(F.when(F.col("actual") & F.col("predicted"), 1)).alias("tp"),
+        F.count(F.when(~F.col("actual") & F.col("predicted"), 1)).alias("fp"),
+        F.count(F.when(F.col("actual") & ~F.col("predicted"), 1)).alias("fn"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    ).collect()[0]
+    tp, fp, fn = row.tp, row.fp, row.fn
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "n_pairs": row.n_pairs,
+        "precision": precision, "recall": recall, "f1": f1,
+    }

@@ -1,0 +1,143 @@
+"""Blocked candidate generation: MinHash signatures + banded LSH join
+(operator J1's scale path; north-rule blocking stage).
+
+The reference compares all pairs (dense/sparse matrix product,
+``/root/reference/polyfuzz/models/_utils.py:73-102``) — quadratic and
+impossible at corpus scale. Here candidates come from banded MinHash over
+the same char n-gram shingles the TF-IDF stage uses:
+
+    shingles → 64 MinHash values (one groupBy, 64 map-side-combinable mins)
+    → 16 bands × 4 rows → band_key = hash(band slice)
+    → self/two-sided equi-join on band_key → distinct candidate pairs
+
+Everything is JVM-side (xxhash64 + slice + groupBy); no UDF. Band keys are
+hashes, so the join key space is uniform EXCEPT for genuinely hot buckets
+(e.g. thousands of files sharing a license-header shingle set). Those are
+handled explicitly: buckets larger than ``max_bucket_size`` are dropped
+(stop-band heuristic — documented recall tradeoff) BEFORE the join, which
+bounds the worst-case join fan-out at bucket_cap² per band instead of n².
+
+Scoring afterwards is exact (cosine_for_candidates / pair scorer), so LSH
+only affects recall, never precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ngrams import char_ngrams
+from ..functions.normalize import clean_string
+from .tfidf import TfidfConfig
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    key_col: str = "key",
+    cfg: TfidfConfig | None = None,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MinHash over distinct char n-grams.
+
+    One explode + one groupBy carrying ``num_hashes`` min-aggregates; each
+    hash family member is xxhash64(term, i, seed) (independent enough for
+    banding; content-derived → deterministic/resumable)."""
+    cfg = cfg or TfidfConfig()
+    key = clean_string(key_col) if cfg.clean_string else F.col(key_col)
+    grams = char_ngrams(
+        key, cfg.n_gram_range[0], cfg.n_gram_range[1], cfg.remove_space_ngrams
+    )
+    terms = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(grams)).alias("term")
+    )
+    aggs = [
+        F.min(F.xxhash64("term", F.lit(i), F.lit(seed))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = terms.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def band_keys(
+    sig: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, band_key) — one row per band."""
+    out = None
+    for b in range(bands):
+        piece = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b)
+            ).alias("band_key"),
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+def _cap_buckets(bands_df: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    if not max_bucket_size:
+        return bands_df
+    sizes = bands_df.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    return (
+        bands_df.join(sizes, ["band", "band_key"])
+        .where(F.col("bucket_n") <= max_bucket_size)
+        .drop("bucket_n")
+    )
+
+
+def minhash_candidates(
+    from_df: DataFrame,
+    to_df: DataFrame | None = None,
+    key_col: str = "key",
+    cfg: TfidfConfig | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """Distinct (from_id, to_id) candidate pairs sharing ≥1 LSH band.
+
+    Self mode (to_df None): both orientations kept, diagonal excluded —
+    matching the downstream per-from top-k semantics."""
+    rows_per_band = num_hashes // bands
+    f_bands = _cap_buckets(
+        band_keys(
+            minhash_signatures(from_df, key_col, cfg, num_hashes, seed),
+            bands,
+            rows_per_band,
+        ),
+        max_bucket_size,
+    )
+    if to_df is None:
+        t_bands = f_bands
+    else:
+        t_bands = _cap_buckets(
+            band_keys(
+                minhash_signatures(to_df, key_col, cfg, num_hashes, seed),
+                bands,
+                rows_per_band,
+            ),
+            max_bucket_size,
+        )
+    f = f_bands.select(
+        F.col("doc_id").alias("from_id"), "band", F.col("band_key").alias("f_bk")
+    )
+    t = t_bands.select(
+        F.col("doc_id").alias("to_id"),
+        F.col("band").alias("t_band"),
+        F.col("band_key").alias("t_bk"),
+    )
+    cond = (F.col("band") == F.col("t_band")) & (F.col("f_bk") == F.col("t_bk"))
+    if to_df is None:
+        cond = cond & (F.col("from_id") != F.col("to_id"))
+    return (
+        f.join(t, cond)
+        .select("from_id", "to_id")
+        .distinct()
+    )

@@ -1,0 +1,172 @@
+"""Checkpointed, resumable entity-resolution pipeline (north-rule core;
+reference lifecycle §3.1/§3.3 re-expressed as staged Spark jobs).
+
+Stages (each writes parquet + a JSON manifest with row counts, the sha256
+content invariant, and a score distribution):
+
+    ingest      corpus table (input_hint schema) → checkpoint
+    candidates  MinHash-LSH blocking → (from_id, to_id)
+    scores      exact TF-IDF cosine on candidate pairs
+    matches     top-n + threshold (long matches contract)
+    clusters    edge filter + iterative connected components
+
+``run()`` skips any stage whose manifest is already complete — kill the job
+after any stage and rerun with the same run_dir to resume. Writes are
+parquet here; on a real deployment the sink is Iceberg
+(``df.writeTo(...)``) — gated because the sandbox has no Iceberg jars.
+
+Partitioning notes (100 TB thinking):
+* ingest is repartitioned by doc_id hash so downstream joins see uniform
+  input regardless of source file layout;
+* candidates/scores shuffle on band_key / term — both hash-uniform by
+  construction, with hot buckets capped in blocking;
+* AQE handles residual skew + partition coalescing (session defaults).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..metrics import score_distribution
+from ..operators.blocking import minhash_candidates
+from ..operators.cosine_join import cosine_for_candidates
+from ..operators.linkage import connected_components, filter_edges
+from ..operators.tfidf import TfidfConfig, fit_tfidf, vectorize
+from ..operators.topk import attach_to_keys, top_n_matches
+
+
+@dataclass
+class ERConfig:
+    key_col: str = "content"
+    n_gram_range: tuple[int, int] = (3, 3)
+    num_hashes: int = 64
+    bands: int = 16
+    max_bucket_size: int | None = 2000
+    min_similarity: float = 0.8
+    link_min_similarity: float = 0.8
+    top_n: int = 5
+    tfidf: TfidfConfig = field(default_factory=TfidfConfig)
+
+
+class ERPipeline:
+    """match → select → cluster over a corpus DataFrame, checkpointed."""
+
+    STAGES = ["ingest", "candidates", "scores", "matches", "clusters"]
+
+    def __init__(self, spark: SparkSession, run_dir: str,
+                 config: ERConfig | None = None):
+        self.spark = spark
+        self.run_dir = Path(run_dir)
+        self.cfg = config or ERConfig()
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------ plumbing
+    def _path(self, stage: str) -> Path:
+        return self.run_dir / stage
+
+    def _manifest(self, stage: str) -> Path:
+        return self.run_dir / f"{stage}.manifest.json"
+
+    def is_complete(self, stage: str) -> bool:
+        mf = self._manifest(stage)
+        if not mf.exists():
+            return False
+        return json.loads(mf.read_text()).get("complete", False)
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(str(self._path(stage)))
+
+    def _checkpoint(self, stage: str, df: DataFrame,
+                    sim_col: str | None = None,
+                    extra: dict | None = None) -> DataFrame:
+        out = str(self._path(stage))
+        df.write.mode("overwrite").parquet(out)
+        back = self.spark.read.parquet(out)
+        manifest = {
+            "stage": stage,
+            "rows": back.count(),
+            "complete": True,
+            "written_at": time.time(),
+            "schema": back.schema.simpleString(),
+        }
+        if sim_col is not None:
+            dist = score_distribution(back, sim_col).collect()[0].asDict()
+            dist["p50_p90_p99"] = list(dist["p50_p90_p99"] or [])
+            manifest["score_distribution"] = dist
+        if extra:
+            manifest.update(extra)
+        self._manifest(stage).write_text(json.dumps(manifest, indent=2))
+        return back
+
+    # -------------------------------------------------------------- stages
+    def run(self, corpus: DataFrame | None = None) -> dict:
+        """Run all incomplete stages; returns the manifest summary."""
+        cfg = self.cfg
+
+        if not self.is_complete("ingest"):
+            assert corpus is not None, "first run needs the corpus DataFrame"
+            # per-row content invariant asserted at the boundary
+            bad = corpus.where(
+                F.sha2(F.col("content"), 256) != F.col("content_sha256")
+            ).count() if "content_sha256" in corpus.columns else 0
+            if bad:
+                raise ValueError(f"sha256 invariant violated on {bad} rows")
+            n_part = self.spark.sparkContext.defaultParallelism * 2
+            self._checkpoint(
+                "ingest",
+                corpus.repartition(n_part, "doc_id"),
+                extra={"sha256_violations": 0},
+            )
+        docs = self.read("ingest").select(
+            "doc_id", F.col(cfg.key_col).alias("key")
+        )
+
+        if not self.is_complete("candidates"):
+            cands = minhash_candidates(
+                docs, None, "key", cfg.tfidf,
+                num_hashes=cfg.num_hashes, bands=cfg.bands,
+                max_bucket_size=cfg.max_bucket_size,
+            )
+            self._checkpoint("candidates", cands)
+
+        if not self.is_complete("scores"):
+            model = fit_tfidf(docs, "key", cfg.tfidf)
+            vec = vectorize(model, docs, "key")
+            scores = cosine_for_candidates(self.read("candidates"), vec, vec)
+            self._checkpoint("scores", scores, sim_col="sim")
+
+        if not self.is_complete("matches"):
+            matches = attach_to_keys(
+                top_n_matches(
+                    self.read("scores"), docs, cfg.top_n, cfg.min_similarity
+                ),
+                docs,
+            )
+            self._checkpoint("matches", matches, sim_col="similarity")
+
+        if not self.is_complete("clusters"):
+            matches = self.read("matches")
+            edges = filter_edges(
+                matches.select(
+                    F.col("from_id").cast("string").alias("from_key"),
+                    F.col("to_id").cast("string").alias("to_key"),
+                    "similarity",
+                ),
+                cfg.link_min_similarity,
+            )
+            assignments = connected_components(edges).select(
+                F.col("key").cast("long").alias("doc_id"),
+                "cluster_id",
+                F.col("representative").cast("long").alias("rep_doc_id"),
+            )
+            self._checkpoint("clusters", assignments)
+
+        return {
+            s: json.loads(self._manifest(s).read_text()) for s in self.STAGES
+        }
