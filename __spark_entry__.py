@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship match→group pipeline on sf0.001 documents.
+queries()     — one entry per implemented operator (SURVEY.md §2 + the
+                training-data-pipeline extensions), from
+                polyfuzz_spark.queries.
+oracle_sql()  — DuckDB twins for every deterministic query; approximate
+                operators (LSH ANN, SimHash) are rows-only by design.
 """
 
 from __future__ import annotations
@@ -12,27 +13,32 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TF-IDF self-match + transitive grouping over the sf0.001
+    documents table — the reference's match→group lifecycle end-to-end."""
+    from polyfuzz_spark.matchers import TFIDFMatcher
+    from polyfuzz_spark.operators.grouping import add_groups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.col("text").alias("key")
+    )
+    matcher = TFIDFMatcher(min_similarity=0.3, top_n=1)
+    matches = matcher.match_df(docs)
+    grouper = TFIDFMatcher(n_gram_range=(3, 3), min_similarity=0.6)
+    grouped, _assignments = add_groups(matches, grouper, 0.6)
+    return grouped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from polyfuzz_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from polyfuzz_spark.queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard (exact set similarity via term join),
+MinHash-LSH near-dup (banded candidates + exact verification), and SimHash.
+All candidate generation is JVM-side; no UDFs anywhere in this module.
+
+Scale shape: exact dedup is one map-side-combinable groupBy on a hash key;
+jaccard pairs join on shared n-grams (same sparsity argument as the cosine
+term join — hot grams capped by ``max_df`` below); MinHash/SimHash reduce
+each doc to a constant-size signature first, so the pairwise stage touches
+candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ngrams import char_ngrams
+from .blocking import minhash_candidates
+from .tfidf import TfidfConfig
+
+
+def exact_dup_groups(
+    docs: DataFrame, key_col: str = "key", id_col: str = "doc_id",
+    prefix: int | None = None,
+) -> DataFrame:
+    """(dedup_key, n_docs, min_doc_id) for groups with > 1 member.
+
+    dedup_key = sha2(content) (or of a prefix — cheap first-pass key).
+    One shuffle, map-side combined."""
+    c = F.col(key_col)
+    if prefix:
+        c = c.substr(1, prefix)
+    return (
+        docs.select(F.sha2(c, 256).alias("dedup_key"), F.col(id_col))
+        .groupBy("dedup_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _distinct_grams(docs: DataFrame, key_col: str, n: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    grams = char_ngrams(F.col(key_col), n, n, remove_space_ngrams=False)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("term"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    key_col: str = "key",
+    n: int = 3,
+    threshold: float = 0.7,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for every pair sharing ≥1 gram, filtered to
+    ≥ threshold: (from_id, to_id, jaccard_milli). from_id < to_id.
+
+    |A∩B| from the gram join, sizes from a per-doc count; Jaccard =
+    inter / (|A| + |B| - inter). ``max_df`` drops ubiquitous grams from the
+    JOIN only — that makes inter counts approximate, so it stays None for
+    oracle-checked runs and is a scale knob for corpus runs."""
+    g = _distinct_grams(docs, key_col, n)
+    if max_df:
+        hot = g.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") > max_df
+        )
+        g = g.join(F.broadcast(hot), "term", "left_anti")
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.select(F.col("doc_id").alias("from_id"), F.col("term").alias("t_a"))
+    b = g.select(F.col("doc_id").alias("to_id"), F.col("term").alias("t_b"))
+    inter = (
+        a.join(b, (F.col("t_a") == F.col("t_b")) & (F.col("from_id") < F.col("to_id")))
+        .groupBy("from_id", "to_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("from_id"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("to_id"), F.col("n_grams").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "from_id")
+        .join(sb, "to_id")
+        .where(jac >= F.lit(threshold))
+        .select(
+            "from_id",
+            "to_id",
+            F.floor(jac * 1000 + F.lit(0.5)).cast("bigint").alias("jaccard_milli"),
+        )
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    key_col: str = "key",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """LSH-candidate near-dup pairs VERIFIED by exact Jaccard ≥ threshold.
+
+    Banding at r=4 with 32 bands makes the miss probability at j=0.8 about
+    (1-0.8^4)^32 ≈ 5e-8 — LSH bounds the pairwise work; the exact verify
+    keeps precision at 1 (and recall within that epsilon)."""
+    cfg = TfidfConfig(n_gram_range=(n, n), clean_string=False,
+                      remove_space_ngrams=False)
+    cands = minhash_candidates(
+        docs, None, key_col, cfg, num_hashes=num_hashes, bands=bands,
+        max_bucket_size=None,
+    ).where(F.col("from_id") < F.col("to_id"))
+    g = _distinct_grams(docs, key_col, n)
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = g.select(F.col("doc_id").alias("from_id"), "term")
+    gb = g.select(F.col("doc_id").alias("gb_id"), F.col("term").alias("t_b"))
+    inter = (
+        cands.join(ga, "from_id")
+        .join(
+            gb,
+            (F.col("to_id") == F.col("gb_id")) & (F.col("term") == F.col("t_b")),
+        )
+        .groupBy("from_id", "to_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("from_id"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("to_id"), F.col("n_grams").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "from_id")
+        .join(sb, "to_id")
+        .where(jac >= F.lit(threshold))
+        .select(
+            "from_id",
+            "to_id",
+            F.floor(jac * 1000 + F.lit(0.5)).cast("bigint").alias("jaccard_milli"),
+        )
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, key_col: str = "key", n: int = 3, bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash: bigint) — 64-bit SimHash over n-gram terms.
+
+    bit_i = sign of Σ_terms (xxhash64(term) bit_i ? +1 : -1); built from 64
+    conditional sums in ONE groupBy (map-side combined)."""
+    g = _distinct_grams(docs, key_col, n).withColumn(
+        "h", F.xxhash64("term")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    votes = g.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame, key_col: str = "key", n: int = 3,
+    max_hamming: int = 6, band_bits: int = 16,
+) -> DataFrame:
+    """(from_id, to_id, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidates via 4 exact-match bands of 16 bits (any pair within Hamming 3
+    shares a band; at max_hamming 6 this is a high-recall heuristic, the
+    standard SimHash table trick), verified with bit_count(xor)."""
+    sig = simhash_signatures(docs, key_col, n)
+    nbands = 64 // band_bits
+    bandsets = []
+    for b in range(nbands):
+        bandsets.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("band_key"),
+                "simhash",
+            )
+        )
+    bands_df = bandsets[0]
+    for piece in bandsets[1:]:
+        bands_df = bands_df.unionByName(piece)
+    a = bands_df.select(
+        F.col("doc_id").alias("from_id"), "band", "band_key",
+        F.col("simhash").alias("sig_a"),
+    )
+    b = bands_df.select(
+        F.col("doc_id").alias("to_id"),
+        F.col("band").alias("band_b"),
+        F.col("band_key").alias("key_b"),
+        F.col("simhash").alias("sig_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_key") == F.col("key_b"))
+            & (F.col("from_id") < F.col("to_id")),
+        )
+        .select(
+            "from_id",
+            "to_id",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,505 @@
+"""Driver-contract queries: one entry per implemented operator, each with an
+exact ANSI-SQL (DuckDB) oracle twin where the semantics are deterministic.
+
+Float-parity policy: every similarity/ratio crossing the oracle boundary is
+quantized to integer milli-units with the SAME formula on both sides
+(``floor(round(x, 3) * 1000 + 0.5)``), and every top-k uses the quantized
+score plus an id tie-break, so cross-engine ulp differences cannot flip
+hashes or orderings (documented risk only within ~1e-12 of a boundary).
+
+Approximate operators (LSH ANN, SimHash) return rows-only checks by design;
+their exact counterparts (brute-force cosine, exact Jaccard) ARE oracle
+checked, and the minhash near-dup query verifies candidates exactly so its
+oracle holds with miss probability ≈ 5e-8 at j=0.8 (32 bands × 4 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import textstats as TS
+from .functions.normalize import clean_string, clean_string_sql
+
+MILLI = "CAST(floor(round({x}, 3) * 1000 + 0.5) AS BIGINT)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _milli(col) -> F.Column:
+    return F.floor(F.round(col, 3) * 1000 + F.lit(0.5)).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF self-match (flagship, operators P1/P2/A1/J1/J4/W1/P3-P5)
+# --------------------------------------------------------------------------
+TFIDF_MIN_SIM = 0.3
+
+
+def _tfidf_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_id, to_id, sim_milli, rnk) — self-match pairs ≥ threshold,
+    ranked on the QUANTIZED score so the ordering is identical in both
+    engines even under float ulp drift."""
+    from .operators.cosine_join import sparse_cosine_pairs
+    from .operators.tfidf import fit_tfidf, vectorize
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    model = fit_tfidf(docs, "key")
+    vec = vectorize(model, docs, "key")
+    pairs = sparse_cosine_pairs(vec, vec, exclude_self=True)
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("sim_milli"), F.asc("to_id")
+    )
+    return (
+        pairs.select(
+            "from_id", "to_id", _milli(F.col("sim")).alias("sim_milli")
+        )
+        .where(F.col("sim_milli") >= int(TFIDF_MIN_SIM * 1000))
+        .withColumn("rnk", F.row_number().over(w))
+    )
+
+
+def q_tfidf_match_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _tfidf_ranked_pairs(spark, sf_dir).where(F.col("rnk") == 1)
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("from_id"))
+    return base.join(ranked, "from_id", "left").select(
+        "from_id",
+        "to_id",
+        F.coalesce("sim_milli", F.lit(0)).alias("sim_milli"),
+    )
+
+
+def _tfidf_oracle_cte(min_sim: float, top_n: int = 1) -> str:
+    """Shared DuckDB CTE chain reproducing the exact TF-IDF pipeline
+    (sklearn smooth-idf + l2, self-match fit on all docs)."""
+    clean = clean_string_sql("text")
+    return f"""
+docs AS (SELECT doc_id AS id, {clean} AS s FROM documents),
+grams AS (
+  SELECT id, g AS term
+  FROM docs, UNNEST(
+    CASE WHEN length(s) >= 3 THEN
+      list_filter(list_transform(generate_series(1, length(s) - 2),
+                                 i -> substring(s, i, 3)),
+                  g -> NOT contains(g, ' '))
+    ELSE [] END) AS t(g)
+),
+tf AS (SELECT id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM docs),
+idf AS (SELECT term, ln((1.0 + nn.n) / (1.0 + dfreq.df)) + 1.0 AS idf
+        FROM dfreq, nn),
+w AS (SELECT tf.id, tf.term, tf.tf * idf.idf AS w FROM tf JOIN idf USING (term)),
+nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+vec AS (SELECT w.id, w.term, w.w / nrm.nrm AS weight FROM w JOIN nrm USING (id)),
+pairs AS (
+  SELECT a.id AS from_id, b.id AS to_id,
+         {MILLI.format(x='sum(a.weight * b.weight)')} AS sim_milli
+  FROM vec a JOIN vec b ON a.term = b.term AND a.id <> b.id
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT from_id, to_id, sim_milli,
+         row_number() OVER (PARTITION BY from_id
+                            ORDER BY sim_milli DESC, to_id) AS rnk
+  FROM pairs WHERE sim_milli >= {int(min_sim * 1000)}
+)"""
+
+
+ORACLE_TFIDF_TOP1 = f"""
+WITH {_tfidf_oracle_cte(TFIDF_MIN_SIM)}
+SELECT d.id AS from_id, b.to_id AS to_id,
+       COALESCE(b.sim_milli, 0) AS sim_milli
+FROM docs d LEFT JOIN best b ON d.id = b.from_id AND b.rnk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Transitive clustering over TF-IDF edges (G1-G3) — recursive-CTE oracle
+# --------------------------------------------------------------------------
+LINK_MIN_SIM = 0.6
+CLUSTER_TOP_N = 3
+
+
+def q_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linkage import connected_components
+
+    ranked = _tfidf_ranked_pairs(spark, sf_dir)
+    # zero-padded string keys so min-label order == numeric order (oracle
+    # uses numeric min)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+    edges = ranked.where(
+        (F.col("rnk") <= CLUSTER_TOP_N)
+        & (F.col("sim_milli") > int(LINK_MIN_SIM * 1000))
+    ).select(pad("from_id").alias("src"), pad("to_id").alias("dst"))
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("representative").cast("bigint").alias("rep_doc_id"),
+    )
+
+
+ORACLE_CLUSTERS = f"""
+WITH RECURSIVE {_tfidf_oracle_cte(TFIDF_MIN_SIM, CLUSTER_TOP_N)},
+edges AS (
+  SELECT from_id AS a, to_id AS b FROM best
+  WHERE rnk <= {CLUSTER_TOP_N} AND sim_milli > {int(LINK_MIN_SIM * 1000)}
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(v, r) AS (
+  SELECT a AS v, a AS r FROM sym
+  UNION
+  SELECT s.b AS v, reach.r FROM sym s JOIN reach ON s.a = reach.v
+)
+SELECT v AS doc_id, min(r) AS rep_doc_id FROM reach GROUP BY v
+"""
+
+
+# --------------------------------------------------------------------------
+# Edit-distance top-1 (J5/J6, K2/K3) on short key slices
+# --------------------------------------------------------------------------
+def _lev_slices(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    f = d.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("from_id"), F.substring("text", 1, 40).alias("fk")
+    )
+    t = d.where(F.col("doc_id") >= 450).select(
+        F.col("doc_id").alias("to_id"), F.substring("text", 1, 40).alias("tk")
+    )
+    return f, t
+
+
+def q_levenshtein_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f, t = _lev_slices(spark, sf_dir)
+    pairs = f.crossJoin(t).select(
+        "from_id", "to_id", F.levenshtein("fk", "tk").alias("lev")
+    )
+    w = Window.partitionBy("from_id").orderBy(F.asc("lev"), F.asc("to_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("from_id", "to_id", F.col("lev").cast("bigint").alias("lev"))
+    )
+
+
+ORACLE_LEV_TOP1 = """
+WITH f AS (SELECT doc_id AS from_id, substring(text, 1, 40) AS fk
+           FROM documents WHERE doc_id < 50),
+t AS (SELECT doc_id AS to_id, substring(text, 1, 40) AS tk
+      FROM documents WHERE doc_id >= 450),
+pairs AS (
+  SELECT from_id, to_id, levenshtein(fk, tk) AS lev,
+         row_number() OVER (PARTITION BY from_id ORDER BY levenshtein(fk, tk), to_id) AS rnk
+  FROM f, t)
+SELECT from_id, to_id, CAST(lev AS BIGINT) AS lev FROM pairs WHERE rnk = 1
+"""
+
+
+def q_jaro_winkler_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scorers.editdistance import pair_scorer_udf
+
+    f, t = _lev_slices(spark, sf_dir)
+    jw = pair_scorer_udf("jaro_winkler")(F.col("fk"), F.col("tk")) / 100.0
+    pairs = f.crossJoin(t).select(
+        "from_id", "to_id", _milli(jw).alias("jw_milli")
+    )
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("jw_milli"), F.asc("to_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("from_id", "to_id", "jw_milli")
+    )
+
+
+ORACLE_JW_TOP1 = f"""
+WITH f AS (SELECT doc_id AS from_id, substring(text, 1, 40) AS fk
+           FROM documents WHERE doc_id < 50),
+t AS (SELECT doc_id AS to_id, substring(text, 1, 40) AS tk
+      FROM documents WHERE doc_id >= 450),
+pairs AS (
+  SELECT from_id, to_id,
+         {MILLI.format(x='jaro_winkler_similarity(fk, tk)')} AS jw_milli
+  FROM f, t),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY from_id
+                               ORDER BY jw_milli DESC, to_id) AS rnk
+  FROM pairs)
+SELECT from_id, to_id, jw_milli FROM ranked WHERE rnk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+def q_exact_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dup_groups
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    return exact_dup_groups(docs, prefix=16).select(
+        "dedup_key",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("min_doc_id").cast("bigint").alias("min_doc_id"),
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT sha256(substring(text, 1, 16)) AS dedup_key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+JACCARD_T = 0.7
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    return ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T)
+
+
+ORACLE_JACCARD = f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, length(text) - 2), i -> substring(text, i, 3)))) AS term
+  FROM documents WHERE length(text) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS from_id, b.doc_id AS to_id, count(*) AS c
+  FROM g a JOIN g b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT from_id, to_id,
+       CAST(floor(c * 1000.0 / (sa.n + sb.n - c) + 0.5) AS BIGINT) AS jaccard_milli
+FROM inter
+JOIN sz sa ON from_id = sa.doc_id
+JOIN sz sb ON to_id = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
+"""
+
+
+MINHASH_T = 0.8
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_near_dups
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    return minhash_near_dups(docs, n=3, threshold=MINHASH_T)
+
+
+ORACLE_MINHASH = ORACLE_JACCARD.replace(
+    f">= {JACCARD_T}", f">= {MINHASH_T}"
+)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dups
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    return simhash_near_dups(docs, max_hamming=3)  # rows-only check (xxhash64
+    # has no DuckDB twin)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        TS.alpha_ratio_milli("text").alias("alpha_milli"),
+        TS.quality_score_milli("text").alias("quality_milli"),
+        TS.lang_id("text").alias("lang_pred"),
+        TS.doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _oracle_doc_stats() -> str:
+    return f"""
+SELECT doc_id,
+       CAST({TS.token_count_sql('text')} AS BIGINT) AS n_tokens,
+       {TS.alpha_ratio_milli_sql('text')} AS alpha_milli,
+       CAST({TS.quality_score_milli_sql('text')} AS BIGINT) AS quality_milli,
+       {TS.lang_id_sql('text')} AS lang_pred,
+       {TS.doc_fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
+def q_docs_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(TS.token_count("text")).cast("bigint").alias("sum_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
+def _oracle_docs_by_lang_source() -> str:
+    return f"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum({TS.token_count_sql('text')}) AS BIGINT) AS sum_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM documents GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search
+# --------------------------------------------------------------------------
+def q_embedding_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import cosine_topk
+
+    e = _embs(spark, sf_dir)
+    return cosine_topk(e, e, k=3, exclude_self=True).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+ORACLE_EMB_TOP3 = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(floor(list_cosine_similarity(a.v, b.v) * 1000 + 0.5) AS BIGINT)
+           AS cos_milli
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_milli DESC, neighbor_id) AS rnk
+  FROM pairs)
+SELECT query_id, neighbor_id, rnk, cos_milli FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import lsh_cosine_topk
+
+    e = _embs(spark, sf_dir)
+    # short codes + many tables: the test embeddings' true top-1 cosine is
+    # ~0.36 (θ≈69°), so P(plane agrees)≈0.62 — 4-bit codes × 10 tables give
+    # ~0.8 top-1 recall while still pruning most of the corpus at scale
+    return lsh_cosine_topk(
+        e, e, k=3, dim=64, n_planes=4, n_tables=10, exclude_self=True
+    )
+    # rows-only: approximate by design; recall vs q_embedding_cosine_top3 is
+    # evaluated in tests
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; schema/batch shape real)
+# --------------------------------------------------------------------------
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_features, to_media
+
+    media = to_media(_docs(spark, sf_dir), "doc_id", "text")
+    return extract_features(media).select("doc_id", "n_bytes", "payload_sha256")
+
+
+ORACLE_MEDIA = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# PR curve (A4) over the flagship matches
+# --------------------------------------------------------------------------
+def q_pr_curve_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 threshold sweep, computed entirely in integer milli space so both
+    engines make the exact same >= decisions (DuckDB's DECIMAL literals vs
+    Spark doubles disagree at e.g. 0.82 otherwise). The float-shaped API
+    lives in metrics.precision_recall_curve; this query pins its logic."""
+    m = q_tfidf_match_top1(spark, sf_dir).select("sim_milli")
+    ths = spark.range(101).select(F.col("id").cast("bigint").alias("threshold_centi"))
+    sel = F.when(F.col("sim_milli") >= F.col("threshold_centi") * 10,
+                 F.col("sim_milli"))
+    return (
+        m.crossJoin(F.broadcast(ths))
+        .groupBy("threshold_centi")
+        .agg(
+            F.floor(F.lit(1000) * F.count(sel) / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("bigint")
+            .alias("recall_milli"),
+            F.coalesce(
+                F.floor(F.avg(sel) + F.lit(0.5)).cast("bigint"), F.lit(-1)
+            ).alias("avg_prec_milli"),
+        )
+    )
+
+
+ORACLE_PR_CURVE = f"""
+WITH {_tfidf_oracle_cte(TFIDF_MIN_SIM)},
+m AS (
+  SELECT COALESCE(b.sim_milli, 0) AS sim_milli
+  FROM docs d LEFT JOIN best b ON d.id = b.from_id AND b.rnk = 1
+),
+ths AS (SELECT CAST(i AS BIGINT) AS threshold_centi
+        FROM generate_series(0, 100) s(i))
+SELECT threshold_centi,
+       CAST(floor(1000 * count(*) FILTER (sim_milli >= threshold_centi * 10)
+                  * 1.0 / count(*) + 0.5) AS BIGINT) AS recall_milli,
+       COALESCE(CAST(floor(avg(sim_milli)
+                    FILTER (sim_milli >= threshold_centi * 10) + 0.5)
+                AS BIGINT), -1) AS avg_prec_milli
+FROM m, ths GROUP BY threshold_centi
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+def all_queries():
+    return {
+        "tfidf_match_top1": q_tfidf_match_top1,
+        "cluster_assignments": q_cluster_assignments,
+        "levenshtein_top1": q_levenshtein_top1,
+        "jaro_winkler_top1": q_jaro_winkler_top1,
+        "exact_dedup_prefix": q_exact_dedup_prefix,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "doc_stats": q_doc_stats,
+        "docs_by_lang_source": q_docs_by_lang_source,
+        "embedding_cosine_top3": q_embedding_cosine_top3,
+        "embedding_knn_lsh": q_embedding_knn_lsh,
+        "media_features": q_media_features,
+        "pr_curve_tfidf": q_pr_curve_tfidf,
+    }
+
+
+def all_oracles():
+    return {
+        "tfidf_match_top1": ORACLE_TFIDF_TOP1,
+        "cluster_assignments": ORACLE_CLUSTERS,
+        "levenshtein_top1": ORACLE_LEV_TOP1,
+        "jaro_winkler_top1": ORACLE_JW_TOP1,
+        "exact_dedup_prefix": ORACLE_EXACT_DEDUP,
+        "ngram_jaccard_dups": ORACLE_JACCARD,
+        "minhash_near_dups": ORACLE_MINHASH,
+        # simhash_near_dups / embedding_knn_lsh: approximate → rows-only
+        "doc_stats": _oracle_doc_stats(),
+        "docs_by_lang_source": _oracle_docs_by_lang_source(),
+        "embedding_cosine_top3": ORACLE_EMB_TOP3,
+        "media_features": ORACLE_MEDIA,
+        "pr_curve_tfidf": ORACLE_PR_CURVE,
+    }
