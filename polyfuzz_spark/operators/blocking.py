@@ -64,18 +64,20 @@ def minhash_signatures(
 def band_keys(
     sig: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """(doc_id, band, band_key) — one row per band."""
-    out = None
-    for b in range(bands):
-        piece = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b)
-            ).alias("band_key"),
+    """(doc_id, band, band_key) — one row per band.
+
+    All band hashes are computed in ONE projection and fanned out with
+    ``posexplode`` (a union-of-selects here would re-evaluate the signature
+    lineage once per band — 16× the work at every reuse)."""
+    band_arr = F.array(*[
+        F.xxhash64(
+            F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b)
         )
-        out = piece if out is None else out.unionByName(piece)
-    return out
+        for b in range(bands)
+    ])
+    return sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "band_key")
+    )
 
 
 def _cap_buckets(bands_df: DataFrame, max_bucket_size: int | None) -> DataFrame:
@@ -106,12 +108,15 @@ def minhash_candidates(
     Self mode (to_df None): both orientations kept, diagonal excluded —
     matching the downstream per-from top-k semantics."""
     rows_per_band = num_hashes // bands
+    # localCheckpoint: the banded signatures are reused by the bucket-size
+    # dimension AND both sides of the self-join — materialize once instead of
+    # re-running the explode + num_hashes min-aggregates per consumer.
     f_bands = _cap_buckets(
         band_keys(
             minhash_signatures(from_df, key_col, cfg, num_hashes, seed),
             bands,
             rows_per_band,
-        ),
+        ).localCheckpoint(eager=True),
         max_bucket_size,
     )
     if to_df is None:
@@ -122,7 +127,7 @@ def minhash_candidates(
                 minhash_signatures(to_df, key_col, cfg, num_hashes, seed),
                 bands,
                 rows_per_band,
-            ),
+            ).localCheckpoint(eager=True),
             max_bucket_size,
         )
     f = f_bands.select(

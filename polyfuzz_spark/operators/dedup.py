@@ -179,23 +179,19 @@ def simhash_near_dups(
     Candidates via 4 exact-match bands of 16 bits (any pair within Hamming 3
     shares a band; at max_hamming 6 this is a high-recall heuristic, the
     standard SimHash table trick), verified with bit_count(xor)."""
-    sig = simhash_signatures(docs, key_col, n)
+    # one projection + posexplode (not a union of per-band selects, which
+    # would re-run the 64-vote signature aggregation once per band); the
+    # checkpoint materializes signatures once for both join sides
+    sig = simhash_signatures(docs, key_col, n).localCheckpoint(eager=True)
     nbands = 64 // band_bits
-    bandsets = []
-    for b in range(nbands):
-        bandsets.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), b * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1))
-                .alias("band_key"),
-                "simhash",
-            )
-        )
-    bands_df = bandsets[0]
-    for piece in bandsets[1:]:
-        bands_df = bands_df.unionByName(piece)
+    band_arr = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+        .bitwiseAND(F.lit((1 << band_bits) - 1))
+        for b in range(nbands)
+    ])
+    bands_df = sig.select(
+        "doc_id", "simhash", F.posexplode(band_arr).alias("band", "band_key")
+    )
     a = bands_df.select(
         F.col("doc_id").alias("from_id"), "band", "band_key",
         F.col("simhash").alias("sig_a"),
