@@ -44,11 +44,16 @@ def minhash_signatures(
     hash family member is xxhash64(term, i, seed) (independent enough for
     banding; content-derived → deterministic/resumable)."""
     cfg = cfg or TfidfConfig()
+    # cleaned key in its own projection — Catalyst does not CSE into HOF
+    # lambdas, so inlining clean_string would re-run it per n-gram (O(len²)
+    # per row; see operators/tfidf.doc_terms)
     key = clean_string(key_col) if cfg.clean_string else F.col(key_col)
+    cleaned = docs.select("doc_id", key.alias("_k"))
     grams = char_ngrams(
-        key, cfg.n_gram_range[0], cfg.n_gram_range[1], cfg.remove_space_ngrams
+        F.col("_k"), cfg.n_gram_range[0], cfg.n_gram_range[1],
+        cfg.remove_space_ngrams,
     )
-    terms = docs.select(
+    terms = cleaned.select(
         F.col("doc_id"), F.explode(F.array_distinct(grams)).alias("term")
     )
     aggs = [
@@ -102,11 +107,20 @@ def minhash_candidates(
     bands: int = 16,
     max_bucket_size: int | None = 2000,
     seed: int = 42,
+    min_shared_bands: int = 1,
 ) -> DataFrame:
-    """Distinct (from_id, to_id) candidate pairs sharing ≥1 LSH band.
+    """Distinct (from_id, to_id) candidate pairs sharing ≥ min_shared_bands
+    LSH bands.
 
     Self mode (to_df None): both orientations kept, diagonal excluded —
-    matching the downstream per-from top-k semantics."""
+    matching the downstream per-from top-k semantics.
+
+    ``min_shared_bands``: with b bands of r rows, P(≥k bands agree) falls
+    much faster in Jaccard than P(≥1) — e.g. at b=16, r=4 a j=0.3 pair has
+    12% single-band but 0.7% two-band probability, while a j=0.8 pair keeps
+    99.97% ≥2-band recall. Use 2 on corpora with a shared base vocabulary
+    (code keywords) where j≈0.3 impostor pairs are abundant; the candidate
+    count drops ~20× with negligible recall loss above j≈0.75."""
     rows_per_band = num_hashes // bands
     # localCheckpoint: the banded signatures are reused by the bucket-size
     # dimension AND both sides of the self-join — materialize once instead of
@@ -141,8 +155,12 @@ def minhash_candidates(
     cond = (F.col("band") == F.col("t_band")) & (F.col("f_bk") == F.col("t_bk"))
     if to_df is None:
         cond = cond & (F.col("from_id") != F.col("to_id"))
+    joined = f.join(t, cond).select("from_id", "to_id")
+    if min_shared_bands <= 1:
+        return joined.distinct()
     return (
-        f.join(t, cond)
+        joined.groupBy("from_id", "to_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .where(F.col("n_bands") >= min_shared_bands)
         .select("from_id", "to_id")
-        .distinct()
     )

@@ -32,11 +32,19 @@ def sparse_cosine_pairs(
     to_vec: DataFrame,
     exclude_self: bool = False,
     min_similarity: float = 0.0,
+    salt_df_above: int | None = 50_000,
 ) -> DataFrame:
     """(from_id, to_id, sim) for every pair sharing ≥1 term.
 
     ``exclude_self`` implements single-list mode (reference zeroes the
     diagonal, ``_utils.py:84-87,97-98``): join predicate from_id != to_id.
+
+    ``salt_df_above``: terms whose to-side posting list exceeds this length
+    get salted — the from side is split into ceil(df/salt_df_above) salt
+    groups and the to side is replicated per group, so one hot term's
+    quadratic fan-out spreads across n_salt shuffle partitions instead of
+    landing on a single reducer. Result rows are identical (pure join-key
+    refinement); this is the explicit skew handling the north rule asks for.
     """
     # alias + rename both sides so self-match (from_vec is to_vec) never hits
     # Spark's ambiguous self-join resolution
@@ -50,7 +58,45 @@ def sparse_cosine_pairs(
         F.col("term").alias("t_term"),
         F.col("weight").alias("w_to"),
     )
-    cond = F.col("f_term") == F.col("t_term")
+    if salt_df_above:
+        hot = (
+            t.groupBy("t_term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > salt_df_above)
+            .select(
+                F.col("t_term").alias("hot_term"),
+                F.ceil(F.col("df") / salt_df_above).cast("int").alias("n_salt"),
+            )
+        )
+        f = (
+            f.join(F.broadcast(hot), f["f_term"] == hot["hot_term"], "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("n_salt").isNotNull(),
+                    F.pmod(F.xxhash64("from_id"), F.col("n_salt")).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("hot_term", "n_salt")
+        )
+        t = (
+            t.join(F.broadcast(hot), t["t_term"] == hot["hot_term"], "left")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1
+                    )
+                ),
+            )
+            .drop("hot_term", "n_salt")
+        )
+    else:
+        f = f.withColumn("salt", F.lit(0))
+        t = t.withColumn("salt", F.lit(0))
+    cond = (F.col("f_term") == F.col("t_term")) & (
+        f["salt"] == t["salt"]
+    )
     if exclude_self:
         cond = cond & (F.col("from_id") != F.col("to_id"))
     pairs = (
@@ -73,16 +119,65 @@ def cosine_for_candidates(
     Used by the LSH path: candidates come from banded MinHash buckets;
     scoring re-joins the full vectors so the score is exact even though
     candidate generation was approximate.
+
+    Shape: each doc's sparse vector is PACKED once into aligned
+    (term-hash, weight) arrays sorted by hash, candidates join two packed
+    rows (a |cands|-row shuffle, not a |cands|×|terms| term-join fan-out),
+    and an Arrow-batched kernel merge-intersects the sorted arrays. Term
+    identity uses xxhash64(term) — a 64-bit space makes a cross-term
+    collision within one document pair astronomically unlikely (~|vocab|²
+    /2⁶⁴), and weights are unchanged, so scores are exact.
     """
-    f = from_vec.select(
-        F.col("doc_id").alias("from_id"), "term", F.col("weight").alias("w_from")
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def packed(vec: DataFrame, side: str) -> DataFrame:
+        return (
+            vec.select(
+                F.col("doc_id").alias(f"{side}_id"),
+                F.xxhash64("term").alias("th"),
+                "weight",
+            )
+            .groupBy(f"{side}_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("th", "weight"))).alias("p")
+            )
+            .select(
+                f"{side}_id",
+                F.transform("p", lambda x: x["th"]).alias(f"{side}_t"),
+                F.transform("p", lambda x: x["weight"]).alias(f"{side}_w"),
+            )
+        )
+
+    joined = candidates.join(packed(from_vec, "from"), "from_id").join(
+        packed(to_vec, "to"), "to_id"
     )
-    t = to_vec.select(
-        F.col("doc_id").alias("to_id"), "term", F.col("weight").alias("w_to")
-    )
-    return (
-        candidates.join(f, "from_id")
-        .join(t, ["to_id", "term"])
-        .groupBy("from_id", "to_id")
-        .agg(F.sum(F.col("w_from") * F.col("w_to")).alias("sim"))
-    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sims = np.empty(len(pdf))
+            for i, (ft, fw, tt, tw) in enumerate(
+                zip(pdf["from_t"], pdf["from_w"], pdf["to_t"], pdf["to_w"])
+            ):
+                a = np.asarray(ft, dtype=np.int64)
+                b = np.asarray(tt, dtype=np.int64)
+                # both sorted → intersect via searchsorted (merge join)
+                idx = np.searchsorted(b, a)
+                idx_ok = idx < len(b)
+                hit = np.zeros(len(a), dtype=bool)
+                hit[idx_ok] = b[idx[idx_ok]] == a[idx_ok]
+                sims[i] = float(
+                    np.asarray(fw, dtype=np.float64)[hit]
+                    @ np.asarray(tw, dtype=np.float64)[idx[hit]]
+                )
+            yield pd.DataFrame(
+                {
+                    "from_id": pdf["from_id"],
+                    "to_id": pdf["to_id"],
+                    "sim": sims,
+                }
+            )
+
+    return joined.mapInPandas(gen, schema="from_id long, to_id long, sim double")

@@ -52,6 +52,89 @@ def _distinct_grams(docs: DataFrame, key_col: str, n: int,
     )
 
 
+def _jaccard_dense(
+    g: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via a broadcast binary incidence
+    matrix: |A∩B| for every pair is ONE integer matmul (n_docs × |vocab|
+    by its transpose), streamed from-side against a broadcast to-side.
+
+    The adaptive fast path for small vocabularies, where the gram join is
+    quadratic on hot grams (75 distinct trigrams ⇒ 1.1B joined rows for 5k
+    docs) but the dense product is n²·|vocab| trivially BLAS-parallel.
+    Same rows as the join path: (from_id, to_id, jaccard_milli),
+    from_id < to_id, jaccard ≥ threshold.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = g.sparkSession
+    terms = [
+        r["term"]
+        for r in g.select("term").distinct().orderBy("term").collect()
+    ]
+    tid = {t: i for i, t in enumerate(terms)}
+    rows = (
+        g.groupBy("doc_id")
+        .agg(F.collect_list("term").alias("ts"))
+        .collect()
+    )
+    ids = np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+    pos = {d: i for i, d in enumerate(ids)}
+    mat = np.zeros((len(ids), len(terms)), dtype=np.float64)
+    for r in rows:
+        mat[pos[r["doc_id"]], [tid[t] for t in r["ts"]]] = 1.0
+    sizes = mat.sum(axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, sizes))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        to_ids, to_mat, to_sz = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_f, out_t, out_j = [], [], []
+            q_ids = pdf["doc_id"].to_numpy()
+            Q = np.zeros((len(pdf), to_mat.shape[1]))
+            for i, ts in enumerate(pdf["ts"]):
+                Q[i, np.asarray(ts, dtype=np.int64)] = 1.0
+            inter = Q @ to_mat.T
+            q_sz = Q.sum(axis=1)
+            union = q_sz[:, None] + to_sz[None, :] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
+            for i in range(len(pdf)):
+                keep = np.nonzero(
+                    (jac[i] >= threshold) & (to_ids > q_ids[i])
+                )[0]
+                out_f.extend([q_ids[i]] * len(keep))
+                out_t.extend(to_ids[keep])
+                out_j.extend(
+                    np.floor(jac[i][keep] * 1000 + 0.5).astype(np.int64)
+                )
+            yield pd.DataFrame(
+                {"from_id": out_f, "to_id": out_t, "jaccard_milli": out_j}
+            )
+
+    # map term → tid JVM-side via a broadcast dimension (keeps Arrow batches
+    # integer-only; the string vocab never crosses to Python per row)
+    tid_df = spark.createDataFrame(
+        [(t, i) for t, i in tid.items()], "term string, tid int"
+    )
+    packed = (
+        g.join(F.broadcast(tid_df), "term")
+        .groupBy("doc_id")
+        .agg(F.collect_list("tid").alias("ts"))
+    )
+    return packed.mapInPandas(
+        gen, schema="from_id long, to_id long, jaccard_milli long"
+    )
+
+
+DENSE_MAX_VOCAB = 2048
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     key_col: str = "key",
@@ -65,8 +148,15 @@ def ngram_jaccard_pairs(
     |A∩B| from the gram join, sizes from a per-doc count; Jaccard =
     inter / (|A| + |B| - inter). ``max_df`` drops ubiquitous grams from the
     JOIN only — that makes inter counts approximate, so it stays None for
-    oracle-checked runs and is a scale knob for corpus runs."""
+    oracle-checked runs and is a scale knob for corpus runs.
+
+    Adaptive: when the distinct-gram vocabulary is ≤ DENSE_MAX_VOCAB the
+    gram join degenerates (hot grams ⇒ quadratic fan-out on few shuffle
+    keys) and the exact dense incidence-matmul path is used instead —
+    identical output."""
     g = _distinct_grams(docs, key_col, n)
+    if g.select("term").distinct().count() <= DENSE_MAX_VOCAB:
+        return _jaccard_dense(g, threshold)
     if max_df:
         hot = g.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
             F.col("df") > max_df
@@ -107,7 +197,15 @@ def minhash_near_dups(
 
     Banding at r=4 with 32 bands makes the miss probability at j=0.8 about
     (1-0.8^4)^32 ≈ 5e-8 — LSH bounds the pairwise work; the exact verify
-    keeps precision at 1 (and recall within that epsilon)."""
+    keeps precision at 1 (and recall within that epsilon).
+
+    Adaptive: a ≤ DENSE_MAX_VOCAB vocabulary makes MinHash useless (every
+    signature collides) AND makes exact all-pairs Jaccard one dense matmul
+    — so the dense path answers exactly (miss probability 0, a strict
+    superset of the LSH contract)."""
+    g0 = _distinct_grams(docs, key_col, n)
+    if g0.select("term").distinct().count() <= DENSE_MAX_VOCAB:
+        return _jaccard_dense(g0, threshold)
     cfg = TfidfConfig(n_gram_range=(n, n), clean_string=False,
                       remove_space_ngrams=False)
     cands = minhash_candidates(

@@ -105,16 +105,27 @@ def lsh_cosine_topk(
     not oracle-matched."""
     q = _norm_vec(queries, "query_id", "q_vec", id_col, vec_col)
     c = _norm_vec(corpus, "neighbor_id", "c_vec", id_col, vec_col)
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        qb = q.select("query_id", _bucket_col("q_vec", planes).alias("bk"))
-        cb = c.select("neighbor_id", _bucket_col("c_vec", planes).alias("bk2"))
-        piece = qb.join(cb, F.col("bk") == F.col("bk2")).select(
-            "query_id", "neighbor_id"
-        )
-        cand = piece if cand is None else cand.unionByName(piece)
-    cand = cand.distinct()
+    # all tables' bucket keys in ONE projection per side, fanned out with
+    # posexplode → a single equi-join on (table, bucket) replaces n_tables
+    # separate join+union stages (and evaluates the normalization once)
+    all_planes = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    qb = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[_bucket_col("q_vec", p) for p in all_planes])
+        ).alias("tbl", "bk"),
+    )
+    cb = c.select(
+        "neighbor_id",
+        F.posexplode(
+            F.array(*[_bucket_col("c_vec", p) for p in all_planes])
+        ).alias("tbl2", "bk2"),
+    )
+    cand = qb.join(
+        cb, (F.col("tbl") == F.col("tbl2")) & (F.col("bk") == F.col("bk2"))
+    ).select("query_id", "neighbor_id").distinct()
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     scored = (

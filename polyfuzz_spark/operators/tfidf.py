@@ -51,13 +51,21 @@ class TfidfModel:
 
 def doc_terms(docs: DataFrame, key_col: str, cfg: TfidfConfig,
               id_col: str = "doc_id") -> DataFrame:
-    """(id, term, tf) — raw term counts per document."""
+    """(id, term, tf) — raw term counts per document.
+
+    The cleaned key is materialized in its OWN projection before shingling:
+    the n-gram lambda references the string once per element, and Catalyst
+    does not CSE subexpressions into higher-order-function lambdas — feeding
+    ``clean_string(key)`` directly would re-run both regexes per n-gram,
+    turning each row O(len²) (measured 64× slower on ~800-char docs)."""
     key = clean_string(key_col) if cfg.clean_string else F.col(key_col)
+    cleaned = docs.select(F.col(id_col).alias("doc_id"), key.alias("_k"))
     grams = char_ngrams(
-        key, cfg.n_gram_range[0], cfg.n_gram_range[1], cfg.remove_space_ngrams
+        F.col("_k"), cfg.n_gram_range[0], cfg.n_gram_range[1],
+        cfg.remove_space_ngrams,
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("term"))
+        cleaned.select("doc_id", F.explode(grams).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -43,25 +43,24 @@ TFIDF_MIN_SIM = 0.3
 
 
 def _tfidf_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(from_id, to_id, sim_milli, rnk) — self-match pairs ≥ threshold,
-    ranked on the QUANTIZED score so the ordering is identical in both
-    engines even under float ulp drift."""
-    from .operators.cosine_join import sparse_cosine_pairs
+    """(from_id, to_id, sim_milli, rnk) — self-match top-CLUSTER_TOP_N pairs
+    ≥ threshold, ranked on the QUANTIZED score so the ordering is identical
+    in both engines even under float ulp drift.
+
+    Scoring goes through the dense broadcast-matmul path: the documents
+    corpus has a tiny trigram vocabulary (~75 terms), which makes the sparse
+    term self-join quadratic on hot terms (1.1B joined rows at sf0.1) while
+    a dense matmul is n×75. The relational sparse join stays the large-vocab
+    path (TFIDFMatcher); both produce identical milli-quantized scores."""
+    from .operators.dense_cosine import tfidf_dense_topk
     from .operators.tfidf import fit_tfidf, vectorize
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
     model = fit_tfidf(docs, "key")
     vec = vectorize(model, docs, "key")
-    pairs = sparse_cosine_pairs(vec, vec, exclude_self=True)
-    w = Window.partitionBy("from_id").orderBy(
-        F.desc("sim_milli"), F.asc("to_id")
-    )
-    return (
-        pairs.select(
-            "from_id", "to_id", _milli(F.col("sim")).alias("sim_milli")
-        )
-        .where(F.col("sim_milli") >= int(TFIDF_MIN_SIM * 1000))
-        .withColumn("rnk", F.row_number().over(w))
+    return tfidf_dense_topk(
+        vec, vec, top_n=CLUSTER_TOP_N, min_similarity=TFIDF_MIN_SIM,
+        exclude_self=True,
     )
 
 
@@ -366,10 +365,12 @@ FROM documents GROUP BY 1, 2
 # Embedding similarity search
 # --------------------------------------------------------------------------
 def q_embedding_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.knn import cosine_topk
+    # dense broadcast-matmul path (corpus broadcast once, queries streamed
+    # through one BLAS matmul per Arrow batch) — replaces the n² crossJoin
+    from .operators.dense_cosine import embedding_dense_topk
 
     e = _embs(spark, sf_dir)
-    return cosine_topk(e, e, k=3, exclude_self=True).withColumnRenamed(
+    return embedding_dense_topk(e, e, k=3, exclude_self=True).withColumnRenamed(
         "rank", "rnk"
     )
 

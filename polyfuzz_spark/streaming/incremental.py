@@ -1,0 +1,177 @@
+"""Structured Streaming surface: incremental matching of a document stream
+against a fitted TF-IDF index (the reference's ``fit``/``transform`` split,
+``/root/reference/polyfuzz/polyfuzz.py:209-242`` + ``_tfidf.py:108-117``,
+re-expressed as a zero-shuffle streaming stage).
+
+The reference has no streaming semantics (SURVEY.md §2.9); this is a
+deliberate engine extension: at ingest scale new files arrive continuously
+and must be matched against the already-resolved corpus without refitting.
+
+Design: the fitted state (vocabulary ids, IDF vector, L2-normalized corpus
+matrix) is broadcast once; each incoming Arrow batch is cleaned, shingled,
+vectorized and scored with one BLAS matmul entirely inside ``mapInPandas``.
+No shuffle, no stateful operator, no watermark needed — the stage is a pure
+per-batch map, so the SAME code runs on a batch DataFrame and a streaming
+DataFrame (Spark's unified batch/streaming contract), and stream output ==
+batch output row-for-row (tested).
+
+The Python-side clean + n-gram steps replicate operators P1/P2 exactly
+(functions/normalize.py, functions/ngrams.py); transform drops
+out-of-vocabulary terms BEFORE normalization, matching sklearn and the
+reference's ``re_train=False`` path.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.tfidf import TfidfConfig, TfidfModel
+
+OUT_SCHEMA = "from_id long, to_id long, sim_milli long, rnk int"
+
+
+@dataclass
+class TfidfIndex:
+    """Driver-side fitted state, broadcast to the streaming kernel."""
+
+    term_to_tid: dict
+    idf: np.ndarray          # (dim,)
+    to_ids: np.ndarray       # (n_to,)
+    to_mat: np.ndarray       # (n_to, dim) L2-normalized tf-idf rows
+    config: TfidfConfig
+
+
+def _clean_py(s: str) -> str:
+    # P1: lower → drop non-[a-z0-9 ] → collapse spaces → trim
+    s = re.sub(r"[^a-z0-9 ]+", "", s.lower())
+    return re.sub(r" +", " ", s).strip()
+
+
+def _grams_py(s: str, cfg: TfidfConfig) -> list[str]:
+    # P2: sliding char windows for each n in the inclusive range
+    out: list[str] = []
+    for n in range(cfg.n_gram_range[0], cfg.n_gram_range[1] + 1):
+        out.extend(s[i : i + n] for i in range(len(s) - n + 1))
+    if cfg.remove_space_ngrams:
+        out = [g for g in out if " " not in g]
+    return out
+
+
+def _vectorize_py(key: str, term_to_tid: dict, idf: np.ndarray,
+                  cfg: TfidfConfig) -> np.ndarray | None:
+    s = _clean_py(key) if cfg.clean_string else key
+    tids = [term_to_tid.get(g) for g in _grams_py(s, cfg)]
+    tids = [t for t in tids if t is not None]  # OOV dropped pre-norm
+    if not tids:
+        return None
+    v = np.zeros(len(idf))
+    np.add.at(v, tids, 1.0)
+    v *= idf
+    nrm = float(np.sqrt((v * v).sum()))
+    return v / nrm if nrm > 0 else None
+
+
+def build_index(model: TfidfModel, to_vec: DataFrame,
+                id_col: str = "doc_id") -> TfidfIndex:
+    """Materialize fitted state from the relational model: the IDF dimension
+    table + the vectorized to-side (operators/tfidf outputs). The to-side
+    must be broadcast-sized — same precondition as any broadcast join."""
+    idf_rows = sorted(model.idf.collect(), key=lambda r: r["term"])
+    term_to_tid = {r["term"]: i for i, r in enumerate(idf_rows)}
+    idf = np.array([r["idf"] for r in idf_rows])
+    by_doc: dict = {}
+    for r in to_vec.select(id_col, "term", "weight").collect():
+        by_doc.setdefault(r[id_col], []).append((term_to_tid[r["term"]],
+                                                 r["weight"]))
+    to_ids = np.array(sorted(by_doc), dtype=np.int64)
+    to_mat = np.zeros((len(to_ids), len(idf)))
+    for i, d in enumerate(to_ids):
+        for tid, w in by_doc[d]:
+            to_mat[i, tid] = w
+    return TfidfIndex(term_to_tid, idf, to_ids, to_mat, model.config)
+
+
+def incremental_match(
+    docs: DataFrame,
+    index: TfidfIndex,
+    top_n: int = 1,
+    min_similarity: float = 0.0,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(from_id, to_id, sim_milli, rnk) for each incoming document vs the
+    fitted corpus. ``docs`` may be a batch OR streaming DataFrame — the plan
+    is a stateless mapInPandas either way."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(index)
+    min_milli = int(np.floor(round(min_similarity, 3) * 1000 + 0.5))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ix: TfidfIndex = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows_f, rows_t, rows_s, rows_r = [], [], [], []
+            vecs, ids = [], []
+            for did, key in zip(pdf[id_col], pdf[key_col]):
+                v = _vectorize_py(key or "", ix.term_to_tid, ix.idf, ix.config)
+                if v is not None:
+                    vecs.append(v)
+                    ids.append(did)
+            if vecs:
+                sims = np.vstack(vecs) @ ix.to_mat.T
+                milli = np.floor(np.round(sims, 3) * 1000 + 0.5).astype(
+                    np.int64
+                )
+                for i, did in enumerate(ids):
+                    row = milli[i]
+                    ok = np.nonzero(row >= min_milli)[0]
+                    order = ok[np.lexsort((ix.to_ids[ok], -row[ok]))][:top_n]
+                    rows_f.extend([did] * len(order))
+                    rows_t.extend(ix.to_ids[order])
+                    rows_s.extend(row[order])
+                    rows_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {"from_id": rows_f, "to_id": rows_t, "sim_milli": rows_s,
+                 "rnk": rows_r}
+            )
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(key_col).alias(key_col)
+    ).mapInPandas(gen, schema=OUT_SCHEMA)
+
+
+def stream_match_parquet(
+    spark,
+    input_dir: str,
+    schema: str,
+    index: TfidfIndex,
+    output_dir: str,
+    checkpoint_dir: str,
+    top_n: int = 1,
+    min_similarity: float = 0.0,
+    key_col: str = "key",
+):
+    """File-source streaming deployment: watch ``input_dir`` for new parquet
+    files, match each micro-batch against the fitted index, append results
+    to ``output_dir`` exactly-once via the checkpoint. Returns the query
+    (call ``.awaitTermination()``; ``availableNow`` drains then stops)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    matched = incremental_match(
+        stream, index, top_n, min_similarity, key_col=key_col
+    )
+    return (
+        matched.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

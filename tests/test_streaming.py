@@ -1,0 +1,90 @@
+"""Streaming surface: the incremental matcher must produce identical rows on
+a batch DataFrame, a streaming DataFrame (file source, availableNow), and
+the relational dense scorer — Spark's unified batch/streaming contract plus
+fit/transform parity (reference polyfuzz.py:209-242 semantics)."""
+
+import pandas as pd
+import pytest
+
+from polyfuzz_spark.api import lists_to_df
+from polyfuzz_spark.operators.dense_cosine import tfidf_dense_topk
+from polyfuzz_spark.operators.tfidf import fit_tfidf, vectorize
+from polyfuzz_spark.streaming.incremental import (
+    build_index,
+    incremental_match,
+    stream_match_parquet,
+)
+
+NEW_DOCS = ["apple", "appl", "aple pie", "mouse", "zzz qqq", "similarity"]
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, request):
+    corpus = ["apple", "apples", "mouse", "house", "recall", "similar"]
+    to_df = lists_to_df(spark, corpus)
+    model = fit_tfidf(to_df, "key")
+    to_vec = vectorize(model, to_df, "key")
+    return model, to_vec, build_index(model, to_vec)
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf.sort_values(["from_id", "rnk"])
+        .reset_index(drop=True)
+        .astype({"from_id": "int64", "to_id": "int64", "sim_milli": "int64",
+                 "rnk": "int64"})
+    )
+
+
+def test_batch_matches_dense_scorer(spark, fitted):
+    model, to_vec, index = fitted
+    from_df = lists_to_df(spark, NEW_DOCS)
+    got = incremental_match(from_df, index, top_n=2, min_similarity=0.2)
+    # reference path: vectorize with the FITTED model (transform semantics)
+    from_vec = vectorize(model, from_df, "key")
+    exp = tfidf_dense_topk(from_vec, to_vec, top_n=2, min_similarity=0.2)
+    g, e = _canon(got.toPandas()), _canon(exp.toPandas())
+    pd.testing.assert_frame_equal(g, e)
+    # "zzz qqq" shares no trigram with the corpus → no rows for it
+    assert 4 not in set(g.from_id)
+
+
+def test_stream_equals_batch(spark, fitted, tmp_path):
+    _, _, index = fitted
+    from_df = lists_to_df(spark, NEW_DOCS)
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    # two separate files → two micro-batches
+    from_df.where("doc_id < 3").write.parquet(in_dir)
+    from_df.where("doc_id >= 3").write.mode("append").parquet(in_dir)
+
+    q = stream_match_parquet(
+        spark, in_dir, "doc_id long, key string", index,
+        out_dir, ck_dir, top_n=2, min_similarity=0.2,
+    )
+    q.awaitTermination(120)
+
+    got = _canon(spark.read.parquet(out_dir).toPandas())
+    exp = _canon(
+        incremental_match(from_df, index, top_n=2, min_similarity=0.2)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stream_resume_is_exactly_once(spark, fitted, tmp_path):
+    """Re-running with the same checkpoint must not duplicate output rows."""
+    _, _, index = fitted
+    from_df = lists_to_df(spark, NEW_DOCS)
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    from_df.write.parquet(in_dir)
+    args = (spark, in_dir, "doc_id long, key string", index, out_dir, ck_dir)
+    stream_match_parquet(*args, top_n=1).awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    # second run: checkpoint says everything is processed → no new rows
+    stream_match_parquet(*args, top_n=1).awaitTermination(120)
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 > 0
