@@ -47,31 +47,40 @@ def run_er_pipeline(spark, sf: float) -> dict:
     from pyspark.sql import functions as F
 
     from polyfuzz_spark.metrics import pairwise_f1
-    from polyfuzz_spark.operators.blocking import minhash_candidates
-    from polyfuzz_spark.operators.cosine_join import cosine_for_candidates
+    from polyfuzz_spark.operators.cosine_join import score_candidates_packed
     from polyfuzz_spark.operators.linkage import connected_components
-    from polyfuzz_spark.operators.tfidf import fit_tfidf, vectorize
+    from polyfuzz_spark.operators.mapside import (
+        candidates_from_bands,
+        fit_idf_mapside,
+        minhash_bands_mapside,
+        vectorize_packed_mapside,
+    )
     from polyfuzz_spark.operators.topk import top_n_matches
     from polyfuzz_spark.sources.corpus import generate_corpus
 
-    # sf0.1 → 2000 entities ≈ 5000 docs (avg 2.5 variants each)
-    n_entities = max(200, int(20_000 * sf))
+    # sf0.1 → 2000 entities ≈ 5000 docs (avg 2.5 variants each);
+    # SPARK_GRAFT_ER_ENTITIES overrides for the scaling-efficiency runs
+    # (local[8] vs local[32] need a compute-dominated corpus size)
+    n_entities = int(
+        os.environ.get("SPARK_GRAFT_ER_ENTITIES", 0)
+    ) or max(200, int(20_000 * sf))
     corpus = generate_corpus(spark, n_entities).cache()
     n_docs = corpus.count()
     docs = corpus.select("doc_id", F.col("content").alias("key"))
 
     t0 = time.monotonic()
-    cands = minhash_candidates(docs, None, num_hashes=64, bands=16,
-                               max_bucket_size=200, min_shared_bands=2)
+    bands = minhash_bands_mapside(docs, num_hashes=64, bands=16)
+    cands = candidates_from_bands(bands, None, max_bucket_size=200,
+                                  min_shared_bands=2)
     cands = cands.cache()
     n_cands = cands.count()
     t_block = time.monotonic() - t0
 
     t0 = time.monotonic()
-    model = fit_tfidf(docs, "key")
-    vec = vectorize(model, docs, "key").cache()
-    vec.count()
-    pairs = cosine_for_candidates(cands, vec, vec).where(
+    model = fit_idf_mapside(docs, "key")
+    packed = vectorize_packed_mapside(model, docs, "key").cache()
+    packed.count()
+    pairs = score_candidates_packed(cands, packed, packed).where(
         F.col("from_id") != F.col("to_id")
     )
     matches = top_n_matches(pairs, docs, top_n=5, min_similarity=0.6).cache()
@@ -96,7 +105,7 @@ def run_er_pipeline(spark, sf: float) -> dict:
         cands, corpus.select("doc_id", "entity_id"), cc
     )
 
-    for df in (cands, vec, matches, corpus, cc):
+    for df in (cands, packed, matches, corpus, cc):
         df.unpersist()
     total = t_block + t_score + t_cluster
     return {

@@ -56,6 +56,7 @@ class PolyFuzzSpark:
         self.matches: dict[str, DataFrame] = {}
         self.clusters: dict[str, DataFrame] = {}
         self._matchers: dict[str, BaseSparkMatcher] = {}
+        self._fit_to = None
 
     # ------------------------------------------------------------- match
     def match(self, from_list, to_list=None, top_n: int = 1) -> "PolyFuzzSpark":
@@ -135,6 +136,77 @@ class PolyFuzzSpark:
     def fit_transform(self, from_list, to_list=None) -> dict[str, DataFrame]:
         self.fit(from_list, to_list)
         return self.transform(from_list)
+
+    # ----------------------------------------------------------- save/load
+    def save(self, path: str) -> None:
+        """Persist fitted state (reference polyfuzz.py:429-441 — joblib
+        pickle → parquet + JSON manifest here). Saves each fitted TF-IDF
+        matcher's model plus the golden to-list."""
+        import json
+        from pathlib import Path
+
+        from .operators.tfidf import save_model
+
+        p = Path(path)
+        p.mkdir(parents=True, exist_ok=True)
+        manifest: dict = {"matchers": [], "format_version": 1}
+        for mid, matcher in self._matchers.items():
+            entry = {"model_id": mid, "type": matcher.type}
+            if isinstance(matcher, TFIDFMatcher):
+                entry["min_similarity"] = matcher.min_similarity
+                entry["top_n"] = matcher.top_n
+            model = getattr(matcher, "model", None)
+            if model is not None:
+                save_model(model, str(p / f"model_{mid}"))
+                entry["model_path"] = f"model_{mid}"
+            manifest["matchers"].append(entry)
+        if getattr(self, "_fit_to", None) is not None:
+            self._as_df(self._fit_to).write.mode("overwrite").parquet(
+                str(p / "to_list")
+            )
+            manifest["has_to_list"] = True
+        (p / "manifest.json").write_text(json.dumps(manifest))
+
+    @classmethod
+    def load(cls, path: str, spark: SparkSession | None = None
+             ) -> "PolyFuzzSpark":
+        """Restore a saved instance (reference polyfuzz.py:443-457); the
+        fitted vocabulary/IDF is reused so transform() skips refitting."""
+        import json
+        from pathlib import Path
+
+        from .operators.tfidf import load_model
+
+        p = Path(path)
+        manifest = json.loads((p / "manifest.json").read_text())
+        inst = cls(spark=spark)
+        methods = []
+        for entry in manifest["matchers"]:
+            if entry["type"] == "TF-IDF":
+                matcher = TFIDFMatcher(
+                    model_id=entry["model_id"],
+                    min_similarity=entry.get("min_similarity", 0.75),
+                    top_n=entry.get("top_n", 1),
+                )
+                if "model_path" in entry:
+                    matcher.model = load_model(
+                        inst.spark, str(p / entry["model_path"])
+                    )
+            else:
+                matcher = _default_matcher(entry["type"], 1)
+            inst._matchers[entry["model_id"]] = matcher
+            methods.append(matcher)
+        inst.method = methods if len(methods) > 1 else methods[0]
+        if manifest.get("has_to_list"):
+            to_df = inst.spark.read.parquet(str(p / "to_list"))
+            inst._fit_to = to_df
+            for matcher in inst._matchers.values():
+                if isinstance(matcher, TFIDFMatcher) and matcher.model is not None:
+                    from .operators.tfidf import vectorize
+
+                    matcher._to_df = to_df
+                    matcher.to_vec = vectorize(matcher.model, to_df, "key")
+        return inst
 
     # ------------------------------------------------------------ helpers
     def _as_df(self, data) -> DataFrame:

@@ -128,31 +128,59 @@ def cosine_for_candidates(
     collision within one document pair astronomically unlikely (~|vocab|²
     /2⁶⁴), and weights are unchanged, so scores are exact.
     """
+    def pack(vec: DataFrame) -> DataFrame:
+        return (
+            vec.select(
+                "doc_id", F.xxhash64("term").alias("th"),
+                F.col("weight").alias("w"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct("th", "w"))).alias("p"))
+            .select(
+                "doc_id",
+                F.transform("p", lambda x: x["th"]).alias("t"),
+                F.transform("p", lambda x: x["w"]).alias("w"),
+            )
+        )
+
+    from_packed = pack(from_vec)
+    to_packed = from_packed if to_vec is from_vec else pack(to_vec)
+    return score_candidates_packed(candidates, from_packed, to_packed)
+
+
+def score_candidates_packed(
+    candidates: DataFrame,
+    from_packed: DataFrame,
+    to_packed: DataFrame,
+) -> DataFrame:
+    """(from_id, to_id, sim) — exact sparse dot for candidate pairs over
+    PACKED vectors (doc_id, t: array<bigint> sorted, w: array<double>), the
+    tfidf.vectorize_packed output. Candidates join two packed rows (a
+    |cands|-row shuffle) and an Arrow kernel merge-intersects the sorted
+    hash arrays — no |cands|×|terms| fan-out anywhere."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    def packed(vec: DataFrame, side: str) -> DataFrame:
-        return (
-            vec.select(
-                F.col("doc_id").alias(f"{side}_id"),
-                F.xxhash64("term").alias("th"),
-                "weight",
-            )
-            .groupBy(f"{side}_id")
-            .agg(
-                F.sort_array(F.collect_list(F.struct("th", "weight"))).alias("p")
-            )
-            .select(
-                f"{side}_id",
-                F.transform("p", lambda x: x["th"]).alias(f"{side}_t"),
-                F.transform("p", lambda x: x["weight"]).alias(f"{side}_w"),
-            )
-        )
-
-    joined = candidates.join(packed(from_vec, "from"), "from_id").join(
-        packed(to_vec, "to"), "to_id"
+    f = from_packed.select(
+        F.col("doc_id").alias("from_id"),
+        F.col("t").alias("from_t"),
+        F.col("w").alias("from_w"),
+    )
+    t = to_packed.select(
+        F.col("doc_id").alias("to_id"),
+        F.col("t").alias("to_t"),
+        F.col("w").alias("to_w"),
+    )
+    # explicit partition count: AQE coalesces by the candidate table's tiny
+    # input size (16 B/row) and would run the fat packed join + the Python
+    # kernel on a handful of tasks; the join OUTPUT is ~10 KB/row
+    n_part = candidates.sparkSession.sparkContext.defaultParallelism * 8
+    joined = (
+        candidates.repartition(n_part, "from_id")
+        .join(f, "from_id")
+        .join(t, "to_id")
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

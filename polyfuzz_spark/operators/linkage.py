@@ -56,6 +56,15 @@ def connected_components(
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
 
+    # size the iteration shuffles to the edge set: the driver loop pays
+    # per-partition task overhead × iterations × jobs, so a small graph on a
+    # large-session shuffle count (e.g. 64) spends more time scheduling than
+    # propagating labels. Restored after convergence.
+    n_edges = sym.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(8, min(int(old_parts), n_edges // 250_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+
     labels = (
         sym.select(F.col("src").alias("key"))
         .distinct()
@@ -87,6 +96,7 @@ def connected_components(
         if changed == 0:
             break
 
+    spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels.select(
         "key",
         F.col("label").alias("representative"),

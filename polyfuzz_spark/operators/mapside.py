@@ -1,0 +1,268 @@
+"""Map-side vectorization + MinHash banding (the zero-extra-shuffle scale
+path for the ER pipeline).
+
+Profiling at 250k docs showed the two relational pre-stages dominating and
+not scaling: ``doc_terms``'s (doc, term) groupBy shuffles 36M rows into 36M
+groups just to count term frequencies, and the JVM MinHash computes 64
+string hashes per exploded gram row (3.2B hashes). Both are per-document
+pure functions of the content, so they belong on the map side:
+
+* ``fit_idf_light`` — document frequency via distinct-grams → a 10k-row
+  groupBy(term) (map-side combinable, tiny shuffle). Exact same IDF values
+  as the reference formula.
+* ``vectorize_packed_mapside`` — broadcast {term → (tid, idf)}; each Arrow
+  batch cleans, shingles, counts, weights and L2-normalizes whole documents
+  in Python/numpy. Output: packed (doc_id, t: array<bigint>, w) rows — the
+  ONLY thing that ever shuffles. Feeds ``score_candidates_packed``.
+* ``minhash_bands_mapside`` — n-grams (n ≤ 8 chars) pack EXACTLY into
+  uint64 (no hash collisions at all); num_hashes affine maps
+  ``a_i · g + b_i`` over 2⁶⁴ (multiply-shift family, odd ``a_i``) give the
+  per-doc minima vectorized in numpy; band keys combine r minima with the
+  same affine trick. Output: (doc_id, band, band_key) — the banded join,
+  bucket caps, and ≥k-shared-bands logic stay in
+  ``blocking.candidates_from_bands``.
+
+Determinism: the hash family derives from ``numpy.random.default_rng(seed)``
+(stable across runs and machines) and gram packing is exact — required for
+resume and for identical results at any parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ngrams import char_ngrams
+from ..functions.normalize import clean_string
+from .tfidf import TfidfConfig, TfidfModel
+
+
+def fit_idf_light(docs: DataFrame, key_col: str = "key",
+                  cfg: TfidfConfig | None = None,
+                  id_col: str = "doc_id") -> TfidfModel:
+    """TfidfModel with the identical smooth-IDF values as ``fit_tfidf`` but
+    without materializing per-(doc, term) counts: df(t) needs only DISTINCT
+    grams per doc, so the aggregation output is |vocab| rows, not |docs|×
+    |terms| — the shuffle is map-side combined down to the vocabulary."""
+    cfg = cfg or TfidfConfig()
+    n_docs = docs.count()
+    key = clean_string(key_col) if cfg.clean_string else F.col(key_col)
+    cleaned = docs.select(F.col(id_col).alias("doc_id"), key.alias("_k"))
+    grams = char_ngrams(
+        F.col("_k"), cfg.n_gram_range[0], cfg.n_gram_range[1],
+        cfg.remove_space_ngrams,
+    )
+    idf = (
+        cleaned.select(F.explode(F.array_distinct(grams)).alias("term"))
+        .groupBy("term")
+        .agg(
+            (
+                F.log(
+                    (F.lit(1.0) + F.lit(float(n_docs)))
+                    / (F.lit(1.0) + F.count(F.lit(1)))
+                )
+                + F.lit(1.0)
+            ).alias("idf")
+        )
+    )
+    return TfidfModel(idf=idf, n_docs=n_docs, config=cfg)
+
+
+def fit_idf_mapside(docs: DataFrame, key_col: str = "key",
+                    cfg: TfidfConfig | None = None,
+                    id_col: str = "doc_id") -> TfidfModel:
+    """TfidfModel with identical IDF values, document frequency counted
+    map-side: each Arrow batch emits one partial (term, df) dict — the
+    shuffle carries ~|vocab| rows per batch instead of |docs|×|grams|
+    exploded rows, and the gram generation runs in the same Python kernel
+    family as vectorization (the JVM regex-clean + per-gram substring
+    allocation was the single largest stage in the event log: 40 s of the
+    117 s pipeline at 250k docs)."""
+    cfg = cfg or TfidfConfig()
+    n_docs = docs.count()
+    bc_cfg = docs.sparkSession.sparkContext.broadcast(cfg)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pygrams import doc_grams_py
+
+        cfg_l = bc_cfg.value
+        for pdf in batches:
+            df_counts: dict[str, int] = {}
+            for key in pdf[key_col]:
+                for g in set(doc_grams_py(key or "", cfg_l)):
+                    df_counts[g] = df_counts.get(g, 0) + 1
+            yield pd.DataFrame(
+                {"term": list(df_counts), "pdf_": list(df_counts.values())}
+            )
+
+    partials = docs.select(key_col).mapInPandas(
+        gen, schema="term string, pdf_ long"
+    )
+    idf = partials.groupBy("term").agg(
+        (
+            F.log(
+                (F.lit(1.0) + F.lit(float(n_docs)))
+                / (F.lit(1.0) + F.sum("pdf_"))
+            )
+            + F.lit(1.0)
+        ).alias("idf")
+    )
+    return TfidfModel(idf=idf, n_docs=n_docs, config=cfg)
+
+
+def vectorize_packed_mapside(
+    model: TfidfModel, docs: DataFrame, key_col: str = "key",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, t: array<bigint> sorted, w: array<double>) packed
+    L2-normalized TF-IDF vectors, built entirely map-side from a broadcast
+    vocabulary. ``t`` holds dense vocabulary ids (sorted), consistent across
+    every output of the SAME model — both sides of
+    ``score_candidates_packed`` must come from one vectorizer family."""
+    spark = docs.sparkSession
+    rows = sorted(model.idf.collect(), key=lambda r: r["term"])
+    vocab = {r["term"]: (i, r["idf"]) for i, r in enumerate(rows)}
+    bc = spark.sparkContext.broadcast((vocab, model.config))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pygrams import doc_grams_py
+
+        vocab_l, cfg = bc.value
+        for pdf in batches:
+            ids, ts, ws = [], [], []
+            for did, key in zip(pdf[id_col], pdf[key_col]):
+                counts: dict[int, float] = {}
+                for g in doc_grams_py(key or "", cfg):
+                    hit = vocab_l.get(g)
+                    if hit is not None:
+                        tid, idf = hit
+                        counts[tid] = counts.get(tid, 0.0) + idf
+                if not counts:
+                    continue
+                tids = np.fromiter(counts.keys(), dtype=np.int64)
+                wts = np.fromiter(counts.values(), dtype=np.float64)
+                order = np.argsort(tids)
+                tids, wts = tids[order], wts[order]
+                wts /= np.sqrt(wts @ wts)
+                ids.append(did)
+                # int32 tids (dense vocab ids) + float32 weights halve the
+                # shuffle/cache bytes; the scoring kernel accumulates the
+                # dot in float64, so milli-rounded scores are unaffected
+                ts.append(tids.astype(np.int32))
+                ws.append(wts.astype(np.float32))
+            yield pd.DataFrame({"doc_id": ids, "t": ts, "w": ws})
+
+    return docs.select(id_col, key_col).mapInPandas(
+        gen, schema="doc_id long, t array<int>, w array<float>"
+    )
+
+
+def _pack_grams_u64(grams: list[str]) -> np.ndarray:
+    """Exact uint64 encoding of distinct n-grams (n ≤ 8, 1-byte chars):
+    zero collisions, vectorizable."""
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    b = np.zeros((len(grams), 8), dtype=np.uint8)
+    for i, g in enumerate(grams):
+        eb = g.encode("utf-8")[:8]
+        b[i, : len(eb)] = np.frombuffer(eb, dtype=np.uint8)
+    return b.view(np.uint64).ravel()
+
+
+def minhash_bands_mapside(
+    docs: DataFrame,
+    key_col: str = "key",
+    cfg: TfidfConfig | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, band, band_key) — banded MinHash computed per document in
+    numpy; the only shuffle left in blocking is the band-key equi-join."""
+    cfg = cfg or TfidfConfig()
+    rows_per_band = num_hashes // bands
+    rng = np.random.default_rng(seed)
+    # odd multipliers → bijective multiply-shift over 2^64
+    A = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    A2 = (rng.integers(0, 2**63, size=rows_per_band, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast((A, B, A2, cfg, bands, rows_per_band))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pygrams import doc_grams_py
+
+        A_l, B_l, A2_l, cfg_l, n_bands, rpb = bc.value
+        for pdf in batches:
+            out_id, out_band, out_key = [], [], []
+            for did, key in zip(pdf[id_col], pdf[key_col]):
+                grams = list(set(doc_grams_py(key or "", cfg_l)))
+                g = _pack_grams_u64(grams)
+                if not len(g):
+                    continue
+                with np.errstate(over="ignore"):
+                    # (n_grams, num_hashes) affine over 2^64 → column minima
+                    sig = (g[:, None] * A_l[None, :] + B_l[None, :]).min(axis=0)
+                    bk = (
+                        (sig.reshape(n_bands, rpb) * A2_l[None, :]).sum(axis=1)
+                    ).astype(np.int64)
+                out_id.extend([did] * n_bands)
+                out_band.extend(range(n_bands))
+                out_key.extend(bk)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "band": out_band, "band_key": out_key}
+            )
+
+    return docs.select(id_col, key_col).mapInPandas(
+        gen, schema="doc_id long, band int, band_key long"
+    )
+
+
+def candidates_from_bands(
+    f_bands: DataFrame,
+    t_bands: DataFrame | None = None,
+    max_bucket_size: int | None = 2000,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """Banded equi-join → (from_id, to_id) candidates; shared with the JVM
+    band generator. Self mode when t_bands is None (diagonal excluded)."""
+    from .blocking import _cap_buckets
+
+    # materialize once: the band rows feed the bucket-size dimension AND
+    # both join sides — without this the Python band kernel re-runs per use
+    f_bands = _cap_buckets(
+        f_bands.localCheckpoint(eager=True), max_bucket_size
+    )
+    t_bands = f_bands if t_bands is None else _cap_buckets(
+        t_bands.localCheckpoint(eager=True), max_bucket_size
+    )
+    self_mode = t_bands is f_bands
+    # explicit partition count for the banded self-join: its OUTPUT is
+    # quadratic in bucket size while its input is ~20 B/row, so AQE's
+    # input-size coalescing would concentrate the expansion on few tasks
+    n_part = f_bands.sparkSession.sparkContext.defaultParallelism * 8
+    f = f_bands.repartition(n_part, "band", "band_key").select(
+        F.col("doc_id").alias("from_id"), "band", F.col("band_key").alias("f_bk")
+    )
+    t = t_bands.select(
+        F.col("doc_id").alias("to_id"),
+        F.col("band").alias("t_band"),
+        F.col("band_key").alias("t_bk"),
+    )
+    cond = (F.col("band") == F.col("t_band")) & (F.col("f_bk") == F.col("t_bk"))
+    if self_mode:
+        cond = cond & (F.col("from_id") != F.col("to_id"))
+    joined = f.join(t, cond).select("from_id", "to_id")
+    if min_shared_bands <= 1:
+        return joined.distinct()
+    return (
+        joined.groupBy("from_id", "to_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .where(F.col("n_bands") >= min_shared_bands)
+        .select("from_id", "to_id")
+    )

@@ -34,10 +34,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..metrics import score_distribution
-from ..operators.blocking import minhash_candidates
-from ..operators.cosine_join import cosine_for_candidates
+from ..operators.cosine_join import score_candidates_packed
 from ..operators.linkage import connected_components, filter_edges
-from ..operators.tfidf import TfidfConfig, fit_tfidf, vectorize
+from ..operators.mapside import (
+    candidates_from_bands,
+    fit_idf_mapside,
+    minhash_bands_mapside,
+    vectorize_packed_mapside,
+)
+from ..operators.tfidf import TfidfConfig
 from ..operators.topk import attach_to_keys, top_n_matches
 
 
@@ -48,6 +53,7 @@ class ERConfig:
     num_hashes: int = 64
     bands: int = 16
     max_bucket_size: int | None = 2000
+    min_shared_bands: int = 1
     min_similarity: float = 0.8
     link_min_similarity: float = 0.8
     top_n: int = 5
@@ -128,17 +134,23 @@ class ERPipeline:
         )
 
         if not self.is_complete("candidates"):
-            cands = minhash_candidates(
-                docs, None, "key", cfg.tfidf,
+            bands = minhash_bands_mapside(
+                docs, "key", cfg.tfidf,
                 num_hashes=cfg.num_hashes, bands=cfg.bands,
+            )
+            cands = candidates_from_bands(
+                bands, None,
                 max_bucket_size=cfg.max_bucket_size,
+                min_shared_bands=cfg.min_shared_bands,
             )
             self._checkpoint("candidates", cands)
 
         if not self.is_complete("scores"):
-            model = fit_tfidf(docs, "key", cfg.tfidf)
-            vec = vectorize(model, docs, "key")
-            scores = cosine_for_candidates(self.read("candidates"), vec, vec)
+            model = fit_idf_mapside(docs, "key", cfg.tfidf)
+            packed = vectorize_packed_mapside(model, docs, "key")
+            scores = score_candidates_packed(
+                self.read("candidates"), packed, packed
+            )
             self._checkpoint("scores", scores, sim_col="sim")
 
         if not self.is_complete("matches"):

@@ -467,6 +467,195 @@ FROM m, ths GROUP BY threshold_centi
 
 
 # --------------------------------------------------------------------------
+# EditDistance argmax + min-max normalization (J6 + A2)
+# --------------------------------------------------------------------------
+def q_editdistance_top1_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax scan with levenshtein similarity, then the reference's global
+    min-max rescale over the best-match column (A2, _distance.py:83-86).
+    Everything integer/exact until one final IEEE-deterministic division."""
+    f, t = _lev_slices(spark, sf_dir)
+    sim = 1.0 - F.levenshtein("fk", "tk") / F.greatest(
+        F.length("fk"), F.length("tk")
+    )
+    pairs = f.crossJoin(t).select("from_id", "to_id", sim.alias("sim"))
+    w = Window.partitionBy("from_id").orderBy(F.desc("sim"), F.asc("to_id"))
+    best = pairs.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") == 1
+    )
+    stats = best.agg(F.min("sim").alias("lo"), F.max("sim").alias("hi"))
+    return best.crossJoin(F.broadcast(stats)).select(
+        "from_id",
+        "to_id",
+        _milli(
+            F.when(
+                F.col("hi") != F.col("lo"),
+                (F.col("sim") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+            ).otherwise(F.lit(0.0))
+        ).alias("norm_milli"),
+    )
+
+
+ORACLE_ED_NORM = f"""
+WITH f AS (SELECT doc_id AS from_id, substring(text, 1, 40) AS fk
+           FROM documents WHERE doc_id < 50),
+t AS (SELECT doc_id AS to_id, substring(text, 1, 40) AS tk
+      FROM documents WHERE doc_id >= 450),
+pairs AS (
+  SELECT from_id, to_id,
+         1.0 - levenshtein(fk, tk) * 1.0 / greatest(length(fk), length(tk))
+           AS sim
+  FROM f, t),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY from_id
+                                 ORDER BY sim DESC, to_id) AS rnk
+    FROM pairs) WHERE rnk = 1),
+st AS (SELECT min(sim) AS lo, max(sim) AS hi FROM best)
+SELECT from_id, to_id,
+       {MILLI.format(x='CASE WHEN hi <> lo THEN (sim - lo) / (hi - lo) ELSE 0.0 END')}
+         AS norm_milli
+FROM best, st
+"""
+
+
+# --------------------------------------------------------------------------
+# Vocabulary statistics (A1's df aggregation as a standalone query)
+# --------------------------------------------------------------------------
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import TfidfConfig, doc_terms
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    tf = doc_terms(docs, "key", TfidfConfig())
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        dfreq.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("term", "df", "total_tf", "rnk")
+    )
+
+
+ORACLE_TOP_TERMS = f"""
+WITH docs AS (SELECT doc_id, {clean_string_sql('text')} AS s FROM documents),
+grams AS (
+  SELECT doc_id, g AS term
+  FROM docs, UNNEST(
+    CASE WHEN length(s) >= 3 THEN
+      list_filter(list_transform(generate_series(1, length(s) - 2),
+                                 i -> substring(s, i, 3)),
+                  g -> NOT contains(g, ' '))
+    ELSE [] END) AS t(g)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(tf) AS BIGINT) AS total_tf
+          FROM tf GROUP BY 1),
+ranked AS (SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rnk
+           FROM dfreq)
+SELECT term, df, total_tf, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-stream analytics (beyond-reference pipeline ops: tumbling-window
+# rollup + JSON extraction; gap-based sessionization)
+# --------------------------------------------------------------------------
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window rollup per event_type — the batch twin of the
+    streaming windowed aggregation. value summed in exact integer cents;
+    props JSON field extracted JVM-side."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket"),
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hour_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2
+"""
+
+
+SESSION_GAP_S = 1800
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (> 30 min of silence starts a new session)
+    via lag + running sum — the batch twin of a session window."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.col("sec") - F.lag("sec").over(w) > SESSION_GAP_S, 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+    )
+
+
+ORACLE_SESSIONS = f"""
+WITH e AS (SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+flagged AS (
+  SELECT user_id, sec,
+         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
+                                        ORDER BY sec, event_id)
+                   > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM e),
+sessions AS (
+  SELECT user_id, sec,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(sec) AS start_sec, max(sec) AS end_sec
+FROM sessions GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 def all_queries():
@@ -485,6 +674,10 @@ def all_queries():
         "embedding_knn_lsh": q_embedding_knn_lsh,
         "media_features": q_media_features,
         "pr_curve_tfidf": q_pr_curve_tfidf,
+        "editdistance_top1_normalized": q_editdistance_top1_normalized,
+        "top_terms": q_top_terms,
+        "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -503,4 +696,8 @@ def all_oracles():
         "embedding_cosine_top3": ORACLE_EMB_TOP3,
         "media_features": ORACLE_MEDIA,
         "pr_curve_tfidf": ORACLE_PR_CURVE,
+        "editdistance_top1_normalized": ORACLE_ED_NORM,
+        "top_terms": ORACLE_TOP_TERMS,
+        "events_hourly": ORACLE_EVENTS_HOURLY,
+        "user_sessions": ORACLE_SESSIONS,
     }

@@ -40,6 +40,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # single-node shuffle I/O is a local-mode artifact (one disk shared
+        # by all "executors"); tmpfs keeps the scaling benchmark CPU-bound,
+        # like per-node NVMe on a real cluster. Override: SPARK_LOCAL_DIRS.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local"
+                if os.path.isdir("/dev/shm")
+                else "/tmp",
+            ),
+        )
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
     for k, v in (extra_conf or {}).items():

@@ -23,7 +23,6 @@ reference's ``re_train=False`` path.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -32,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.pygrams import clean_py as _clean_py
+from ..functions.pygrams import grams_py as _grams_py
 from ..operators.tfidf import TfidfConfig, TfidfModel
 
 OUT_SCHEMA = "from_id long, to_id long, sim_milli long, rnk int"
@@ -46,22 +47,6 @@ class TfidfIndex:
     to_ids: np.ndarray       # (n_to,)
     to_mat: np.ndarray       # (n_to, dim) L2-normalized tf-idf rows
     config: TfidfConfig
-
-
-def _clean_py(s: str) -> str:
-    # P1: lower → drop non-[a-z0-9 ] → collapse spaces → trim
-    s = re.sub(r"[^a-z0-9 ]+", "", s.lower())
-    return re.sub(r" +", " ", s).strip()
-
-
-def _grams_py(s: str, cfg: TfidfConfig) -> list[str]:
-    # P2: sliding char windows for each n in the inclusive range
-    out: list[str] = []
-    for n in range(cfg.n_gram_range[0], cfg.n_gram_range[1] + 1):
-        out.extend(s[i : i + n] for i in range(len(s) - n + 1))
-    if cfg.remove_space_ngrams:
-        out = [g for g in out if " " not in g]
-    return out
 
 
 def _vectorize_py(key: str, term_to_tid: dict, idf: np.ndarray,
