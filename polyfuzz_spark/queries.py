@@ -205,7 +205,10 @@ def q_jaro_winkler_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     f, t = _lev_slices(spark, sf_dir)
     jw = pair_scorer_udf("jaro_winkler")(F.col("fk"), F.col("tk")) / 100.0
-    pairs = f.crossJoin(t).select(
+    # the crossJoin inherits the tiny from-side's single partition — spread
+    # the pair table before the Python scorer or it runs on one task
+    n_part = spark.sparkContext.defaultParallelism * 2
+    pairs = f.crossJoin(t).repartition(n_part).select(
         "from_id", "to_id", _milli(jw).alias("jw_milli")
     )
     w = Window.partitionBy("from_id").orderBy(

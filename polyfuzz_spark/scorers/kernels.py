@@ -179,26 +179,26 @@ def jaro(a: str, b: str) -> float:
     window = max(la, lb) // 2 - 1
     if window < 0:
         window = 0
-    ac, bc = _codes(a), _codes(b)
-    b_used = np.zeros(lb, dtype=bool)
-    a_match = np.full(la, -1, dtype=np.int64)
-    matches = 0
-    for i in range(la):
+    # pure-python char loops: numpy scalar indexing in this tight greedy
+    # match is ~5-10× slower than str comparisons
+    b_used = [False] * lb
+    seq_a: list[str] = []
+    matched_j: list[int] = []
+    for i, ca in enumerate(a):
         lo, hi = max(0, i - window), min(lb, i + window + 1)
         for j in range(lo, hi):
-            if not b_used[j] and bc[j] == ac[i]:
+            if not b_used[j] and b[j] == ca:
                 b_used[j] = True
-                a_match[i] = j
-                matches += 1
+                seq_a.append(ca)
+                matched_j.append(j)
                 break
+    matches = len(seq_a)
     if matches == 0:
         return 0.0
-    matched_b_order = a_match[a_match >= 0]
-    seq_a = ac[a_match >= 0]
-    seq_b = bc[np.sort(matched_b_order)]
+    seq_b = [b[j] for j in sorted(matched_j)]
     # classic transposition count: differing aligned positions, halved with
     # INTEGER division (Apache-Commons/DuckDB behavior)
-    t = int(np.sum(seq_a != seq_b)) // 2
+    t = sum(x != y for x, y in zip(seq_a, seq_b)) // 2
     m = float(matches)
     return (m / la + m / lb + (m - t) / m) / 3.0
 
