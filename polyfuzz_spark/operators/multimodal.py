@@ -85,6 +85,62 @@ def extract_features(media: DataFrame, batch_check: bool = False) -> DataFrame:
     )
 
 
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_sha256 string"
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64,
+                  stride: int | None = None) -> DataFrame:
+    """Frame-sampling plumbing (video/audio shape): split each payload into
+    fixed-size frames at ``stride`` offsets inside ``mapInPandas`` — the
+    real pipeline decodes frames here; the chunking, batch shape, and
+    per-frame digests are the tested contract. One input batch yields one
+    exploded output batch (no JVM explode of large binaries)."""
+    stride = stride or frame_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, digests = [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                for k, off in enumerate(range(0, max(len(raw), 1), stride)):
+                    chunk = raw[off : off + frame_size]
+                    if not chunk:
+                        break
+                    ids.append(did)
+                    idxs.append(k)
+                    frames.append(chunk)
+                    digests.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames,
+                 "frame_sha256": digests}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )
+
+
+def resize_features(features: DataFrame, out_dim: int = 8) -> DataFrame:
+    """Resize plumbing (image shape): linear-resample each feature vector to
+    ``out_dim`` in an Arrow batch — stands in for image resize, which needs
+    the same per-row array→array kernel signature."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for f in pdf["feature"]:
+                v = np.asarray(f, dtype=np.float32)
+                x_new = np.linspace(0, len(v) - 1, out_dim)
+                out.append(
+                    np.interp(x_new, np.arange(len(v)), v).astype(np.float32)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": out})
+
+    return features.select("doc_id", "feature").mapInPandas(
+        run, schema="doc_id long, feature array<float>"
+    )
+
+
 def decode_image(payload: bytes):  # pragma: no cover - explicit stub
     """Real image decode is NOT implemented in this environment."""
     raise NotImplementedError(

@@ -425,6 +425,63 @@ FROM documents
 """
 
 
+FRAME_SIZE = 64
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: fixed-size payload chunks + per-frame
+    digests (the video/audio frame-sample shape, decode stubbed)."""
+    from .operators.multimodal import sample_frames, to_media
+
+    media = to_media(_docs(spark, sf_dir), "doc_id", "text")
+    return sample_frames(media, frame_size=FRAME_SIZE).select(
+        "doc_id", "frame_idx", "frame_sha256"
+    )
+
+
+# DuckDB 1.0 has no BLOB substring; the documents text is ASCII, so string
+# chunk boundaries == byte chunk boundaries and sha256(string chunk) equals
+# the engine's digest of the byte chunk.
+ORACLE_MEDIA_FRAMES = f"""
+WITH frames AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0,
+             CAST(ceil(length(text) * 1.0 / {FRAME_SIZE}) AS BIGINT) - 1),
+           i -> struct_pack(
+             idx := i,
+             fr := substring(text, CAST(i * {FRAME_SIZE} + 1 AS BIGINT),
+                             {FRAME_SIZE})))) AS f
+  FROM documents
+)
+SELECT doc_id, CAST(f.idx AS INT) AS frame_idx,
+       sha256(f.fr) AS frame_sha256
+FROM frames
+"""
+
+
+def q_wratio_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 — the reference's default RapidFuzz WRatio scorer as a top-1
+    scan. Rows-only: the multi-branch composite has no SQL twin; the kernel
+    family is unit-tested against DuckDB levenshtein/jaro oracles."""
+    from .scorers.editdistance import pair_scorer_udf
+
+    f, t = _lev_slices(spark, sf_dir)
+    n_part = spark.sparkContext.defaultParallelism * 2
+    wr = pair_scorer_udf("WRatio")(F.col("fk"), F.col("tk")) / 100.0
+    pairs = f.crossJoin(t).repartition(n_part).select(
+        "from_id", "to_id", _milli(wr).alias("wr_milli")
+    )
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("wr_milli"), F.asc("to_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("from_id", "to_id", "wr_milli")
+    )
+
+
 # --------------------------------------------------------------------------
 # PR curve (A4) over the flagship matches
 # --------------------------------------------------------------------------
@@ -676,6 +733,8 @@ def all_queries():
         "embedding_cosine_top3": q_embedding_cosine_top3,
         "embedding_knn_lsh": q_embedding_knn_lsh,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "wratio_top1": q_wratio_top1,
         "pr_curve_tfidf": q_pr_curve_tfidf,
         "editdistance_top1_normalized": q_editdistance_top1_normalized,
         "top_terms": q_top_terms,
@@ -698,6 +757,8 @@ def all_oracles():
         "docs_by_lang_source": _oracle_docs_by_lang_source(),
         "embedding_cosine_top3": ORACLE_EMB_TOP3,
         "media_features": ORACLE_MEDIA,
+        "media_frames": ORACLE_MEDIA_FRAMES,
+        # wratio_top1: composite kernel, no SQL twin → rows-only
         "pr_curve_tfidf": ORACLE_PR_CURVE,
         "editdistance_top1_normalized": ORACLE_ED_NORM,
         "top_terms": ORACLE_TOP_TERMS,

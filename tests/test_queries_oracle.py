@@ -23,9 +23,9 @@ def con():
 
 def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
-    # approximate ops are deliberately rows-only
+    # approximate/composite ops are deliberately rows-only
     assert set(QUERIES) - set(ORACLES) == {
-        "simhash_near_dups", "embedding_knn_lsh",
+        "simhash_near_dups", "embedding_knn_lsh", "wratio_top1",
     }
 
 
