@@ -1,0 +1,75 @@
+"""Physical-plan audits: the optimizations the engine relies on at scale
+must actually appear in the executed plans — predicate pushdown to the
+parquet scan, column pruning (ReadSchema), map-side partial aggregation,
+and whole-stage codegen. A regression here (e.g. a UDF blocking pushdown,
+a lambda capturing extra columns) silently turns a 100 TB scan into a full
+read, so these are tested, not assumed."""
+
+import contextlib
+import io
+
+import pytest
+
+from polyfuzz_spark.queries import (
+    q_docs_by_lang_source,
+    q_exact_dedup_prefix,
+    q_levenshtein_top1,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = plan_of(q_levenshtein_top1(spark, SF))
+    assert "PushedFilters" in plan
+    # both slice predicates must reach the scans, not sit in a Filter above
+    assert "LessThan(doc_id,50)" in plan.replace(" ", "")
+    assert "GreaterThanOrEqual(doc_id,450)" in plan.replace(" ", "")
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    plan = plan_of(q_docs_by_lang_source(spark, SF))
+    # documents has (doc_id, text, lang, source, n_chars); doc_id min/max,
+    # token count over text, and the group keys are needed — nothing else
+    read_schemas = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schemas, plan
+    for ln in read_schemas:
+        assert "title" not in ln
+    joined = " ".join(read_schemas)
+    assert "lang" in joined and "n_chars" in joined
+
+
+def test_aggregation_is_map_side_combined(spark):
+    plan = plan_of(q_exact_dedup_prefix(spark, SF))
+    # partial + final hash aggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_whole_stage_codegen_present(spark):
+    # simple mode marks codegen'd operators with "*(n)"; formatted mode
+    # under AQE omits the annotation
+    df = q_docs_by_lang_source(spark, SF)
+    df.collect()  # AQE finalizes the physical plan only after execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    out = buf.getvalue()
+    assert "WholeStageCodegen subtree" in out and "*(1)" in out
+
+
+def test_dedup_groupby_prunes_to_two_columns(spark):
+    plan = plan_of(q_exact_dedup_prefix(spark, SF))
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "text" in ln and "doc_id" in ln
+            assert "lang" not in ln and "source" not in ln
