@@ -124,6 +124,39 @@ def tfidf_dense_topk(
     )
 
 
+def tfidf_dense_topk_packed(
+    packed: DataFrame,
+    dim: int,
+    top_n: int = 1,
+    min_similarity: float = 0.0,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Self-match dense top-n over PACKED vectors (doc_id, t: array<int>
+    dense vocab ids, w: array<float>) — the mapside-vectorizer output.
+    Same kernel and output contract as ``tfidf_dense_topk`` without the
+    relational term-row detour (one collect builds the corpus matrix)."""
+    spark = packed.sparkSession
+    rows = packed.collect()
+    to_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    to_mat = np.zeros((len(rows), dim))
+    for i, r in enumerate(rows):
+        to_mat[i, np.asarray(r["t"], dtype=np.int64)] = np.asarray(
+            r["w"], dtype=np.float64
+        )
+    sc = spark.sparkContext
+    bc_ids, bc_mat = sc.broadcast(to_ids), sc.broadcast(to_mat)
+    min_milli = int(np.floor(round(min_similarity, 3) * 1000 + 0.5)) if (
+        min_similarity > 0
+    ) else 0
+    renamed = packed.select(
+        "doc_id", F.col("t").alias("tids"), F.col("w").alias("ws")
+    )
+    return renamed.mapInPandas(
+        _topk_batches(bc_ids, bc_mat, top_n, min_milli, exclude_self),
+        schema=OUT_SCHEMA,
+    )
+
+
 def embedding_dense_topk(
     queries: DataFrame,
     corpus: DataFrame,

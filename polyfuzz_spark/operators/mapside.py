@@ -110,7 +110,7 @@ def fit_idf_mapside(docs: DataFrame, key_col: str = "key",
             )
             + F.lit(1.0)
         ).alias("idf")
-    )
+    ).cache()  # ≤|vocab| rows, reused by count/collect/joins
     return TfidfModel(idf=idf, n_docs=n_docs, config=cfg)
 
 

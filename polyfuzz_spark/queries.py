@@ -50,16 +50,19 @@ def _tfidf_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scoring goes through the dense broadcast-matmul path: the documents
     corpus has a tiny trigram vocabulary (~75 terms), which makes the sparse
     term self-join quadratic on hot terms (1.1B joined rows at sf0.1) while
-    a dense matmul is n×75. The relational sparse join stays the large-vocab
-    path (TFIDFMatcher); both produce identical milli-quantized scores."""
-    from .operators.dense_cosine import tfidf_dense_topk
-    from .operators.tfidf import fit_tfidf, vectorize
+    a dense matmul is n×75. Fit + vectorization are the map-side kernels
+    (identical IDF values and weights as the relational path — oracle-
+    checked); the relational sparse join stays the large-vocab matcher
+    path. All variants produce identical milli-quantized scores."""
+    from .operators.dense_cosine import tfidf_dense_topk_packed
+    from .operators.mapside import fit_idf_mapside, vectorize_packed_mapside
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
-    model = fit_tfidf(docs, "key")
-    vec = vectorize(model, docs, "key")
-    return tfidf_dense_topk(
-        vec, vec, top_n=CLUSTER_TOP_N, min_similarity=TFIDF_MIN_SIM,
+    model = fit_idf_mapside(docs, "key")
+    dim = model.idf.count()
+    packed = vectorize_packed_mapside(model, docs, "key")
+    return tfidf_dense_topk_packed(
+        packed, dim, top_n=CLUSTER_TOP_N, min_similarity=TFIDF_MIN_SIM,
         exclude_self=True,
     )
 
