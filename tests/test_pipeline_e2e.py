@@ -79,3 +79,32 @@ def test_blocking_recall_on_planted_dups(spark):
     )
     missed = truth.join(cands, ["from_id", "to_id"], "left_anti").count()
     assert missed == 0
+
+
+def test_mapside_blocking_recall_matches_jvm_path(spark):
+    """The map-side numpy MinHash (bench/pipeline path) must also reach
+    full candidate recall on planted duplicates, with ≥2 shared bands."""
+    import pyspark.sql.functions as F
+
+    from polyfuzz_spark.operators.mapside import (
+        candidates_from_bands,
+        minhash_bands_mapside,
+    )
+
+    corpus = generate_corpus(spark, n_entities=80, seed=7)
+    docs = corpus.select("doc_id", F.col("content").alias("key"))
+    bands = minhash_bands_mapside(docs)
+    cands = candidates_from_bands(bands, None, min_shared_bands=2).where(
+        F.col("from_id") < F.col("to_id")
+    )
+    lab = corpus.select("doc_id", "entity_id")
+    truth = (
+        lab.alias("a")
+        .join(lab.alias("b"), F.col("a.entity_id") == F.col("b.entity_id"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("from_id"), F.col("b.doc_id").alias("to_id")
+        )
+    )
+    missed = truth.join(cands, ["from_id", "to_id"], "left_anti").count()
+    assert missed == 0
