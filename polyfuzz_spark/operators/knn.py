@@ -73,20 +73,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def _bucket_col(vec_col: str, planes: np.ndarray) -> Column:
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
-    return bucket
-
-
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -105,24 +91,45 @@ def lsh_cosine_topk(
     not oracle-matched."""
     q = _norm_vec(queries, "query_id", "q_vec", id_col, vec_col)
     c = _norm_vec(corpus, "neighbor_id", "c_vec", id_col, vec_col)
-    # all tables' bucket keys in ONE projection per side, fanned out with
-    # posexplode → a single equi-join on (table, bucket) replaces n_tables
-    # separate join+union stages (and evaluates the normalization once)
-    all_planes = [
-        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
-    ]
-    qb = q.select(
-        "query_id",
-        F.posexplode(
-            F.array(*[_bucket_col("q_vec", p) for p in all_planes])
-        ).alias("tbl", "bk"),
+    # sign-bit buckets for ALL tables in one numpy matmul per Arrow batch
+    # (V @ P.T > 0, bits packed per table) — replaces n_tables × n_planes
+    # chained JVM array-aggregates per row; one equi-join on (table, bucket)
+    P = np.vstack(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    bc_p = queries.sparkSession.sparkContext.broadcast(P)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def bucket_rows(id_name: str):
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            planes = bc_p.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array([np.asarray(v) for v in pdf["v"]])
+                bits = (V @ planes.T > 0).astype(np.int64)
+                bits = bits.reshape(len(pdf), n_tables, n_planes)
+                keys = (bits * weights[None, None, :]).sum(axis=2)
+                ids = np.repeat(pdf[id_name].to_numpy(), n_tables)
+                tbls = np.tile(np.arange(n_tables), len(pdf))
+                yield pd.DataFrame(
+                    {id_name: ids, "tbl": tbls, "bk": keys.ravel()}
+                )
+
+        return gen
+
+    qb = q.select(F.col("query_id"), F.col("q_vec").alias("v")).mapInPandas(
+        bucket_rows("query_id"), schema="query_id long, tbl int, bk long"
     )
     cb = c.select(
-        "neighbor_id",
-        F.posexplode(
-            F.array(*[_bucket_col("c_vec", p) for p in all_planes])
-        ).alias("tbl2", "bk2"),
-    )
+        F.col("neighbor_id"), F.col("c_vec").alias("v")
+    ).mapInPandas(
+        bucket_rows("neighbor_id"), schema="neighbor_id long, tbl int, bk long"
+    ).withColumnRenamed("tbl", "tbl2").withColumnRenamed("bk", "bk2")
     cand = qb.join(
         cb, (F.col("tbl") == F.col("tbl2")) & (F.col("bk") == F.col("bk2"))
     ).select("query_id", "neighbor_id").distinct()
