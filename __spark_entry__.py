@@ -1,11 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  — flagship match→group pipeline on sf0.001 documents.
-queries()     — one entry per implemented operator (SURVEY.md §2 + the
-                training-data-pipeline extensions), from
+queries()     — 20 entries, one per implemented operator (SURVEY.md §2 +
+                the training-data-pipeline extensions), from
                 polyfuzz_spark.queries.
-oracle_sql()  — DuckDB twins for every deterministic query; approximate
-                operators (LSH ANN, SimHash) are rows-only by design.
+oracle_sql()  — 17 exact DuckDB twins; approximate/composite operators
+                (LSH ANN, SimHash, WRatio) are rows-only by design.
 """
 
 from __future__ import annotations
