@@ -78,7 +78,7 @@ def run_er_pipeline(spark, sf: float) -> dict:
 
     t0 = time.monotonic()
     model = fit_idf_mapside(docs, "key")
-    packed = vectorize_packed_mapside(model, docs, "key").cache()
+    packed = vectorize_packed_mapside(model, docs, "key", compact=True).cache()
     packed.count()
     pairs = score_candidates_packed(cands, packed, packed).where(
         F.col("from_id") != F.col("to_id")

@@ -83,6 +83,13 @@ class PolyFuzzSpark:
             return next(iter(self.matches.values()))
         return self.matches
 
+    def get_ids(self):
+        """Model ids of the stored match tables (reference
+        polyfuzz.py:375-383)."""
+        if not self.matches:
+            raise ValueError("Make sure to run .match() first")
+        return list(self.matches.keys())
+
     # --------------------------------------------------------------- group
     def group(self, model=None, link_min_similarity: float = 0.75,
               group_all_strings: bool = False) -> "PolyFuzzSpark":
@@ -92,14 +99,41 @@ class PolyFuzzSpark:
         self-match with the grouper → edges sim > threshold → transitive
         closure (documented upgrade over the reference's order-dependent
         single pass, see operators/linkage.py) → Group column.
+
+        ``model`` accepts a matcher instance OR a name string
+        ("TF-IDF"/"EditDistance"/"Embeddings") like the reference
+        (polyfuzz.py:352-369 — whose own string dispatch tests
+        ``self.method`` instead of ``model`` and is partly unreachable; we
+        implement the documented intent).
         """
         if not self.matches:
             raise ValueError("Make sure to run .match() first")
         from .operators.grouping import add_groups
 
-        grouper = model or TFIDFMatcher(
-            n_gram_range=(3, 3), min_similarity=link_min_similarity
-        )
+        if model is None:
+            grouper = TFIDFMatcher(
+                n_gram_range=(3, 3), min_similarity=link_min_similarity
+            )
+        elif isinstance(model, str):
+            if model in ("TF-IDF", "TFIDF"):
+                grouper = TFIDFMatcher(
+                    n_gram_range=(3, 3), min_similarity=link_min_similarity
+                )
+            elif model == "EditDistance":
+                from .scorers.editdistance import RapidFuzzMatcher
+
+                grouper = RapidFuzzMatcher()
+            elif model == "Embeddings":
+                grouper = EmbeddingMatcher(
+                    min_similarity=link_min_similarity
+                )
+            else:
+                raise ValueError(
+                    "Please choose one of: 'TF-IDF', 'EditDistance', "
+                    "'Embeddings', or a BaseSparkMatcher instance"
+                )
+        else:
+            grouper = model
         for mid, matches in list(self.matches.items()):
             grouped, assignments = add_groups(
                 matches, grouper, link_min_similarity, group_all_strings
@@ -116,6 +150,22 @@ class PolyFuzzSpark:
         if len(self.clusters) == 1:
             return next(iter(self.clusters.values()))
         return self.clusters
+
+    def get_cluster_mappings(self, model_id: str | None = None):
+        """(key, cluster_id) mapping DataFrame(s) — the reference's
+        ``get_cluster_mappings`` dict (polyfuzz.py:416-427) as a table;
+        ``.toPandas()`` restores the dict shape for parity tests."""
+        if not self.clusters:
+            raise ValueError("Make sure to run .group() first")
+
+        def _map(df: DataFrame) -> DataFrame:
+            return df.select("key", "cluster_id")
+
+        if model_id:
+            return _map(self.clusters[model_id])
+        if len(self.clusters) == 1:
+            return _map(next(iter(self.clusters.values())))
+        return {mid: _map(df) for mid, df in self.clusters.items()}
 
     # ----------------------------------------------------- fit/transform
     def fit(self, from_list, to_list=None) -> "PolyFuzzSpark":
@@ -138,10 +188,92 @@ class PolyFuzzSpark:
         return self.transform(from_list)
 
     # ----------------------------------------------------------- save/load
+    @staticmethod
+    def _matcher_config(matcher) -> dict:
+        """Full fitted configuration for the manifest — every matcher type
+        round-trips its knobs (the reference joblib-pickles whole objects,
+        polyfuzz.py:429-457; ADVICE r01: a lossy restore silently changes
+        transform() results after load)."""
+        from .scorers.editdistance import EditDistanceMatcher, RapidFuzzMatcher
+
+        if isinstance(matcher, TFIDFMatcher):
+            return {
+                "class": "TFIDFMatcher",
+                "min_similarity": matcher.min_similarity,
+                "top_n": matcher.top_n,
+                "n_gram_range": list(matcher.cfg.n_gram_range),
+                "clean_string": matcher.cfg.clean_string,
+                "remove_space_ngrams": matcher.cfg.remove_space_ngrams,
+                "use_blocking": matcher.use_blocking,
+                "blocking_conf": matcher.blocking_conf,
+            }
+        if isinstance(matcher, EmbeddingMatcher):
+            return {
+                "class": "EmbeddingMatcher",
+                "min_similarity": matcher.min_similarity,
+                "top_n": matcher.top_n,
+                "lsh_conf": matcher.lsh_conf,
+            }
+        if isinstance(matcher, RapidFuzzMatcher):
+            return {
+                "class": "RapidFuzzMatcher",
+                "score_cutoff": matcher.score_cutoff,
+                "scorer": matcher.scorer,
+                "top_n": matcher.top_n,
+            }
+        if isinstance(matcher, EditDistanceMatcher):
+            return {
+                "class": "EditDistanceMatcher",
+                "scorer": matcher.scorer,
+                "normalize": matcher.normalize,
+            }
+        raise NotImplementedError(
+            f"save() cannot round-trip custom matcher type "
+            f"{type(matcher).__name__}; persist its state explicitly"
+        )
+
+    @staticmethod
+    def _matcher_from_config(cfg: dict, model_id: str):
+        from .scorers.editdistance import EditDistanceMatcher, RapidFuzzMatcher
+
+        cls = cfg["class"]
+        if cls == "TFIDFMatcher":
+            return TFIDFMatcher(
+                model_id=model_id,
+                min_similarity=cfg["min_similarity"],
+                top_n=cfg["top_n"],
+                n_gram_range=tuple(cfg["n_gram_range"]),
+                clean_string=cfg["clean_string"],
+                remove_space_ngrams=cfg["remove_space_ngrams"],
+                use_blocking=cfg["use_blocking"],
+                blocking_conf=cfg.get("blocking_conf") or None,
+            )
+        if cls == "EmbeddingMatcher":
+            return EmbeddingMatcher(
+                model_id=model_id,
+                min_similarity=cfg["min_similarity"],
+                top_n=cfg["top_n"],
+                lsh_conf=cfg.get("lsh_conf"),
+            )
+        if cls == "RapidFuzzMatcher":
+            return RapidFuzzMatcher(
+                model_id=model_id,
+                score_cutoff=cfg["score_cutoff"],
+                scorer=cfg["scorer"],
+                top_n=cfg["top_n"],
+            )
+        if cls == "EditDistanceMatcher":
+            return EditDistanceMatcher(
+                model_id=model_id,
+                scorer=cfg["scorer"],
+                normalize=cfg["normalize"],
+            )
+        raise ValueError(f"unknown matcher class in manifest: {cls!r}")
+
     def save(self, path: str) -> None:
         """Persist fitted state (reference polyfuzz.py:429-441 — joblib
-        pickle → parquet + JSON manifest here). Saves each fitted TF-IDF
-        matcher's model plus the golden to-list."""
+        pickle → parquet + JSON manifest here). Saves every matcher's full
+        configuration, each fitted TF-IDF model, and the golden to-list."""
         import json
         from pathlib import Path
 
@@ -149,12 +281,13 @@ class PolyFuzzSpark:
 
         p = Path(path)
         p.mkdir(parents=True, exist_ok=True)
-        manifest: dict = {"matchers": [], "format_version": 1}
+        manifest: dict = {"matchers": [], "format_version": 2}
         for mid, matcher in self._matchers.items():
-            entry = {"model_id": mid, "type": matcher.type}
-            if isinstance(matcher, TFIDFMatcher):
-                entry["min_similarity"] = matcher.min_similarity
-                entry["top_n"] = matcher.top_n
+            entry = {
+                "model_id": mid,
+                "type": matcher.type,
+                "config": self._matcher_config(matcher),
+            }
             model = getattr(matcher, "model", None)
             if model is not None:
                 save_model(model, str(p / f"model_{mid}"))
@@ -182,18 +315,22 @@ class PolyFuzzSpark:
         inst = cls(spark=spark)
         methods = []
         for entry in manifest["matchers"]:
-            if entry["type"] == "TF-IDF":
+            if "config" in entry:  # format_version >= 2: full round-trip
+                matcher = cls._matcher_from_config(
+                    entry["config"], entry["model_id"]
+                )
+            elif entry["type"] == "TF-IDF":  # legacy manifests
                 matcher = TFIDFMatcher(
                     model_id=entry["model_id"],
                     min_similarity=entry.get("min_similarity", 0.75),
                     top_n=entry.get("top_n", 1),
                 )
-                if "model_path" in entry:
-                    matcher.model = load_model(
-                        inst.spark, str(p / entry["model_path"])
-                    )
             else:
                 matcher = _default_matcher(entry["type"], 1)
+            if "model_path" in entry and isinstance(matcher, TFIDFMatcher):
+                matcher.model = load_model(
+                    inst.spark, str(p / entry["model_path"])
+                )
             inst._matchers[entry["model_id"]] = matcher
             methods.append(matcher)
         inst.method = methods if len(methods) > 1 else methods[0]

@@ -116,42 +116,46 @@ class TFIDFMatcher(BaseSparkMatcher):
 class EmbeddingMatcher(BaseSparkMatcher):
     """Embedding-cosine matcher (reference ``_embeddings.py:94-145`` — L2
     normalize then cosine). Input DataFrames carry an ``embedding``
-    array<float|double> column; cosine is a JVM-side ``aggregate(zip_with(...))``
-    over a pre-normalized vector — no UDF. The reference's encode step
-    (Flair/SBERT/...) is a plug point: any (doc_id, key, embedding) source.
+    array<float|double> column; any (doc_id, key, embedding) source plugs in
+    (the reference's Flair/SBERT/... encode step is that plug point).
+
+    Routed through ``dense_cosine.embedding_dense_topk``: corpus broadcast
+    as one normalized matrix, queries streamed through a batch matmul — a
+    top-k kernel, never a BroadcastNestedLoopJoin (the non-equi
+    ``from_id != to_id`` self-join Spark would otherwise plan is a
+    cartesian product). Over the broadcast budget the kernel itself
+    degrades to the LSH-bucketed path (``lsh_conf`` tunes it).
+
+    Similarity precision note: the kernel emits half-up milli-quantized
+    cosines, so the ``min_similarity`` threshold compares against the
+    3-decimal-rounded score (divergence from the reference only within
+    0.0005 of the threshold).
     """
 
     type = "Embeddings"
 
     def __init__(self, min_similarity: float = 0.75, top_n: int = 1,
-                 model_id: str | None = None):
+                 model_id: str | None = None, lsh_conf: dict | None = None):
         super().__init__(model_id)
         self.min_similarity = min_similarity
         self.top_n = top_n
-
-    @staticmethod
-    def _normalize(df: DataFrame, tag: str) -> DataFrame:
-        vec = F.col("embedding").cast("array<double>")
-        norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-        return df.select(
-            F.col("doc_id").alias(f"{tag}_id"),
-            F.transform(vec, lambda x: x / norm).alias(f"{tag}_vec"),
-        )
+        self.lsh_conf = lsh_conf
 
     def match_df(self, from_df: DataFrame, to_df: DataFrame | None = None,
                  re_train: bool = True) -> DataFrame:
+        from .operators.dense_cosine import embedding_dense_topk
+
         exclude_self = to_df is None
         to_eff = to_df if to_df is not None else from_df
-        f = self._normalize(from_df, "from")
-        t = self._normalize(to_eff, "to")
-        pairs = f.crossJoin(t) if not exclude_self else f.join(
-            t, f["from_id"] != t["to_id"]
+        topk = embedding_dense_topk(
+            from_df, to_eff, k=self.top_n, id_col="doc_id",
+            vec_col="embedding", exclude_self=exclude_self,
+            lsh_conf=self.lsh_conf,
         )
-        dot = F.aggregate(
-            F.zip_with("from_vec", "to_vec", lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        pairs = topk.select(
+            F.col("query_id").alias("from_id"),
+            F.col("neighbor_id").alias("to_id"),
+            (F.col("cos_milli") / 1000.0).alias("sim"),
         )
-        pairs = pairs.select("from_id", "to_id", dot.alias("sim"))
         matches = top_n_matches(pairs, from_df, self.top_n, self.min_similarity)
         return attach_to_keys(matches, to_eff)

@@ -1,0 +1,95 @@
+"""Size-adaptive TF-IDF self-match top-k: dense broadcast matmul below the
+broadcast budget, blocked MinHash-LSH candidates + exact packed re-scoring
+above it.
+
+This is the dispatcher the contract queries use (VERDICT r01 item 1): the
+dense path's driver collect is now *bounded* by ``dense_cosine.
+fits_broadcast``, and anything larger takes the same blocked path the ER
+pipeline (``plans/pipeline.py``) already runs at scale — map-side banding,
+capped buckets, candidate equi-join, exact cosine on candidates only. The
+blocked path is exact on every scored pair; LSH only bounds which pairs get
+scored (miss probability per band math in ``blocking.minhash_candidates``),
+so precision is 1 and recall is the documented LSH recall.
+
+Reference semantics: ``/root/reference/polyfuzz/models/_utils.py:59-102``
+(all-pairs cosine + top-n); the blocked variant is the north-rule scale
+re-expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tfidf import TfidfConfig
+
+
+def tfidf_selfmatch_topk(
+    docs: DataFrame,
+    key_col: str = "key",
+    top_n: int = 1,
+    min_similarity: float = 0.0,
+    cfg: TfidfConfig | None = None,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    max_bucket_size: int | None = 5000,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """(from_id, to_id, sim_milli, rnk) — self-match top-n pairs with
+    sim ≥ min_similarity, ranked on the milli-quantized score with a to_id
+    tie-break (identical contract on both paths).
+
+    Dense path (corpus within ``dense_cosine.fits_broadcast``): exact.
+    Blocked path: exact scores over banded-MinHash candidates — bands=32 ×
+    r=2 keeps P(candidate) ≥ 95% even at Jaccard ≈ 0.3; hot buckets are
+    capped at ``max_bucket_size`` (documented recall tradeoff at scale).
+    """
+    from . import dense_cosine
+    from .mapside import (
+        candidates_from_bands,
+        fit_idf_mapside,
+        minhash_bands_mapside,
+        vectorize_packed_mapside,
+    )
+
+    cfg = cfg or TfidfConfig()
+    model = fit_idf_mapside(docs, key_col, cfg, id_col=id_col)
+    dim = model.idf.count()
+    packed = vectorize_packed_mapside(model, docs, key_col, id_col=id_col)
+    if dense_cosine.fits_broadcast(model.n_docs, dim):
+        return dense_cosine.tfidf_dense_topk_packed(
+            packed, dim, top_n=top_n, min_similarity=min_similarity,
+            exclude_self=True, n_docs=model.n_docs,
+        )
+
+    from .cosine_join import score_candidates_packed
+
+    # blocked scale path: band keys map-side, candidates from the capped
+    # banded equi-join (both orientations, diagonal excluded), exact cosine
+    # on candidates only. packed is materialized once — it feeds BOTH sides
+    # of the candidate join.
+    packed = packed.localCheckpoint(eager=True)
+    band_rows = minhash_bands_mapside(
+        docs, key_col, cfg, num_hashes=num_hashes, bands=bands, id_col=id_col
+    )
+    cands = candidates_from_bands(
+        band_rows, None, max_bucket_size=max_bucket_size,
+        min_shared_bands=min_shared_bands,
+    )
+    scored = score_candidates_packed(cands, packed, packed)
+    # two-step milli quantization — same value as the dense kernel's
+    # half-up floor(x*1000+0.5) for x >= 0
+    milli = F.floor(F.round("sim", 3) * 1000 + F.lit(0.5)).cast("bigint")
+    min_milli = int(round(min_similarity * 1000)) if min_similarity > 0 else 0
+    ranked = (
+        scored.select("from_id", "to_id", milli.alias("sim_milli"))
+        .where(F.col("sim_milli") >= min_milli)
+    )
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("sim_milli"), F.asc("to_id")
+    )
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_n)
+    )

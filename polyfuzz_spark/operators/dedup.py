@@ -56,14 +56,20 @@ def _jaccard_dense(
     g: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via a broadcast binary incidence
-    matrix: |A∩B| for every pair is ONE integer matmul (n_docs × |vocab|
-    by its transpose), streamed from-side against a broadcast to-side.
+    matrix: |A∩B| for every pair is ONE matmul (n_docs × |vocab| by its
+    transpose), streamed from-side against a broadcast to-side.
 
     The adaptive fast path for small vocabularies, where the gram join is
     quadratic on hot grams (75 distinct trigrams ⇒ 1.1B joined rows for 5k
     docs) but the dense product is n²·|vocab| trivially BLAS-parallel.
     Same rows as the join path: (from_id, to_id, jaccard_milli),
-    from_id < to_id, jaccard ≥ threshold.
+    from_id < to_id, jaccard ≥ threshold AND ≥ 1 shared gram (the join path
+    only ever sees pairs sharing a gram, so threshold 0 matches too).
+
+    Bounded by construction: callers gate on BOTH |vocab| ≤ DENSE_MAX_VOCAB
+    and n_docs ≤ DENSE_MAX_DOCS before taking this path, so the driver
+    collect and the broadcast (uint8 incidence: n_docs × vocab bytes) are
+    budget-capped, never corpus-unbounded.
     """
     from collections.abc import Iterator
 
@@ -76,37 +82,50 @@ def _jaccard_dense(
         for r in g.select("term").distinct().orderBy("term").collect()
     ]
     tid = {t: i for i, t in enumerate(terms)}
-    rows = (
-        g.groupBy("doc_id")
-        .agg(F.collect_list("term").alias("ts"))
-        .collect()
+    # map term → tid JVM-side via a broadcast dimension; the packed int rows
+    # are the ONE aggregation reused by the driver-side matrix build AND the
+    # streamed mapInPandas side (no second string-carrying pass)
+    tid_df = spark.createDataFrame(
+        [(t, i) for t, i in tid.items()], "term string, tid int"
     )
+    packed = (
+        g.join(F.broadcast(tid_df), "term")
+        .groupBy("doc_id")
+        .agg(F.collect_list("tid").alias("ts"))
+        .localCheckpoint(eager=True)
+    )
+    rows = packed.collect()
     ids = np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
     pos = {d: i for i, d in enumerate(ids)}
-    mat = np.zeros((len(ids), len(terms)), dtype=np.float64)
+    mat = np.zeros((len(ids), len(terms)), dtype=np.uint8)
     for r in rows:
-        mat[pos[r["doc_id"]], [tid[t] for t in r["ts"]]] = 1.0
-    sizes = mat.sum(axis=1)
+        mat[pos[r["doc_id"]], np.asarray(r["ts"], dtype=np.int64)] = 1
+    sizes = mat.sum(axis=1, dtype=np.int64)
     bc = spark.sparkContext.broadcast((ids, mat, sizes))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        to_ids, to_mat, to_sz = bc.value
+        to_ids, to_u8, to_sz = bc.value
+        # one float32 widening per worker (matmul would silently wrap in
+        # uint8); counts ≤ vocab ≤ 2048 are exact in float32
+        to_mat = to_u8.astype(np.float32)
         for pdf in batches:
             if not len(pdf):
                 continue
             out_f, out_t, out_j = [], [], []
             q_ids = pdf["doc_id"].to_numpy()
-            Q = np.zeros((len(pdf), to_mat.shape[1]))
+            Q = np.zeros((len(pdf), to_mat.shape[1]), dtype=np.float32)
             for i, ts in enumerate(pdf["ts"]):
                 Q[i, np.asarray(ts, dtype=np.int64)] = 1.0
-            inter = Q @ to_mat.T
-            q_sz = Q.sum(axis=1)
+            inter = (Q @ to_mat.T).astype(np.int64)
+            q_sz = Q.sum(axis=1).astype(np.int64)
             union = q_sz[:, None] + to_sz[None, :] - inter
             with np.errstate(invalid="ignore", divide="ignore"):
                 jac = np.where(union > 0, inter / union, 0.0)
             for i in range(len(pdf)):
                 keep = np.nonzero(
-                    (jac[i] >= threshold) & (to_ids > q_ids[i])
+                    (jac[i] >= threshold)
+                    & (inter[i] > 0)
+                    & (to_ids > q_ids[i])
                 )[0]
                 out_f.extend([q_ids[i]] * len(keep))
                 out_t.extend(to_ids[keep])
@@ -117,22 +136,26 @@ def _jaccard_dense(
                 {"from_id": out_f, "to_id": out_t, "jaccard_milli": out_j}
             )
 
-    # map term → tid JVM-side via a broadcast dimension (keeps Arrow batches
-    # integer-only; the string vocab never crosses to Python per row)
-    tid_df = spark.createDataFrame(
-        [(t, i) for t, i in tid.items()], "term string, tid int"
-    )
-    packed = (
-        g.join(F.broadcast(tid_df), "term")
-        .groupBy("doc_id")
-        .agg(F.collect_list("tid").alias("ts"))
-    )
     return packed.mapInPandas(
         gen, schema="from_id long, to_id long, jaccard_milli long"
     )
 
 
 DENSE_MAX_VOCAB = 2048
+DENSE_MAX_DOCS = 50_000
+
+
+def _dense_eligible(g: DataFrame) -> bool:
+    """True when the distinct-gram table is small on BOTH axes: the dense
+    incidence path is vocab-bounded (matrix width) AND doc-bounded (driver
+    collect + matrix height). A huge corpus with a tiny gram vocabulary —
+    exactly the hot-gram case — must take the join/LSH path, not a silent
+    full-corpus collect (ADVICE r01)."""
+    stats = g.agg(
+        F.countDistinct("term").alias("v"),
+        F.countDistinct("doc_id").alias("d"),
+    ).first()
+    return stats["v"] <= DENSE_MAX_VOCAB and stats["d"] <= DENSE_MAX_DOCS
 
 
 def ngram_jaccard_pairs(
@@ -150,12 +173,13 @@ def ngram_jaccard_pairs(
     JOIN only — that makes inter counts approximate, so it stays None for
     oracle-checked runs and is a scale knob for corpus runs.
 
-    Adaptive: when the distinct-gram vocabulary is ≤ DENSE_MAX_VOCAB the
-    gram join degenerates (hot grams ⇒ quadratic fan-out on few shuffle
-    keys) and the exact dense incidence-matmul path is used instead —
-    identical output."""
+    Adaptive: when the distinct-gram vocabulary is ≤ DENSE_MAX_VOCAB AND
+    the corpus is ≤ DENSE_MAX_DOCS the gram join degenerates (hot grams ⇒
+    quadratic fan-out on few shuffle keys) and the exact dense
+    incidence-matmul path is used instead — identical output. Over either
+    bound the join path runs (use ``max_df`` there to tame hot grams)."""
     g = _distinct_grams(docs, key_col, n)
-    if g.select("term").distinct().count() <= DENSE_MAX_VOCAB:
+    if _dense_eligible(g):
         return _jaccard_dense(g, threshold)
     if max_df:
         hot = g.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
@@ -202,9 +226,11 @@ def minhash_near_dups(
     Adaptive: a ≤ DENSE_MAX_VOCAB vocabulary makes MinHash useless (every
     signature collides) AND makes exact all-pairs Jaccard one dense matmul
     — so the dense path answers exactly (miss probability 0, a strict
-    superset of the LSH contract)."""
+    superset of the LSH contract) WHEN the corpus also fits the dense
+    budget (≤ DENSE_MAX_DOCS); a big corpus on a tiny vocabulary stays on
+    the LSH path rather than silently collecting the corpus (ADVICE r01)."""
     g0 = _distinct_grams(docs, key_col, n)
-    if g0.select("term").distinct().count() <= DENSE_MAX_VOCAB:
+    if _dense_eligible(g0):
         return _jaccard_dense(g0, threshold)
     cfg = TfidfConfig(n_gram_range=(n, n), clean_string=False,
                       remove_space_ngrams=False)

@@ -12,9 +12,18 @@ whenever the vocabulary is small or postings are long (hot-term fan-out
 makes the term join quadratic; a 5k-doc corpus with 75 distinct trigrams
 produces a 1.1-billion-row join but a 5000×75 matmul).
 
-Scores are quantized to integer milli-units (floor(round(x,3)*1000+0.5))
+Scores are quantized to integer milli-units (half-up: floor(x*1000+0.5),
+identical for x ≥ 0 to the relational two-step floor(round(x,3)*1000+0.5)
+— the 0.5 slack absorbs the ~1e-13 representation wobble of the /1000 step)
 INSIDE the kernel and ranked by (milli desc, to_id asc) — bit-identical to
 the engine's relational top-k and to the DuckDB oracles.
+
+SIZE GATE: every function here materializes the *to-side only* on the
+driver for the broadcast, so each one is gated on an explicit doc-count ×
+dim byte budget (``fits_broadcast``). Over budget they refuse (TF-IDF —
+callers route through ``operators.adaptive.tfidf_selfmatch_topk``'s blocked
+LSH path) or degrade to the LSH-bucketed approximate path (embeddings →
+``knn.lsh_cosine_topk``). No unbounded driver collect remains.
 """
 
 from __future__ import annotations
@@ -23,10 +32,26 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 OUT_SCHEMA = "from_id long, to_id long, sim_milli long, rnk int"
+
+# broadcast budget for the to-side matrix: n_docs × dim float64 must fit
+# comfortably in every executor (and once on the driver). Monkeypatchable in
+# tests to force the scale paths.
+BROADCAST_MAX_DOCS = 200_000
+BROADCAST_MAX_BYTES = 512 << 20
+
+
+def fits_broadcast(n_docs: int, dim: int) -> bool:
+    """True when an (n_docs × dim) float64 matrix is within the dense
+    broadcast budget — the switch between the dense fast path and the
+    blocked/LSH scale path."""
+    return (
+        n_docs <= BROADCAST_MAX_DOCS
+        and n_docs * max(dim, 1) * 8 <= BROADCAST_MAX_BYTES
+    )
 
 
 def _dense_rows(vec: DataFrame, term_ids: DataFrame) -> DataFrame:
@@ -61,7 +86,9 @@ def _topk_batches(
             for i, (tids, ws) in enumerate(zip(pdf["tids"], pdf["ws"])):
                 M[i, np.asarray(tids, dtype=np.int64)] = np.asarray(ws)
             sims = M @ to_mat.T
-            milli = np.floor(np.round(sims, 3) * 1000 + 0.5).astype(np.int64)
+            # half-up milli quantization (== floor(round(x,3)*1000+0.5) for
+            # x >= 0; explicit so numpy's banker's rounding never enters)
+            milli = np.floor(sims * 1000 + 0.5).astype(np.int64)
             out_f, out_t, out_s, out_r = [], [], [], []
             for i in range(n):
                 row = milli[i]
@@ -94,23 +121,33 @@ def tfidf_dense_topk(
 ) -> DataFrame:
     """(from_id, to_id, sim_milli, rnk) — exact TF-IDF cosine top-n via
     broadcast matmul. ``to_vec`` must be broadcast-sized (n_to × |vocab|
-    doubles); ``from_vec`` streams. Inputs are (doc_id, term, weight)
-    L2-normalized sparse vectors (operators/tfidf.vectorize output)."""
+    doubles, enforced via ``fits_broadcast``); ``from_vec`` streams. Inputs
+    are (doc_id, term, weight) L2-normalized sparse vectors
+    (operators/tfidf.vectorize output)."""
     spark = from_vec.sparkSession
-    # |vocab| is small by precondition → single-partition window is fine
-    term_ids = (
-        to_vec.select("term")
-        .union(from_vec.select("term"))
-        .distinct()
-        .withColumn(
-            "tid", F.row_number().over(Window.orderBy("term")) - 1
+    # vocab is broadcast-bounded by the same gate that bounds the matrix, so
+    # the term numbering is a driver-side sorted enumeration (a global
+    # row_number window here would funnel every term through one partition)
+    terms = sorted(
+        r["term"]
+        for r in to_vec.select("term").union(from_vec.select("term"))
+        .distinct().collect()
+    )
+    dim = len(terms)
+    n_to = to_vec.select("doc_id").distinct().count()
+    if not fits_broadcast(n_to, dim):
+        raise ValueError(
+            f"to-side ({n_to} docs x {dim} terms) exceeds the dense "
+            "broadcast budget; use the blocked path "
+            "(operators.adaptive.tfidf_selfmatch_topk / blocking + "
+            "score_candidates_packed)"
         )
+    term_ids = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, tid int"
     )
     to_rows = _dense_rows(to_vec, term_ids).collect()
-    dim = term_ids.count()
-    n_to = len(to_rows)
     to_ids = np.array([r["doc_id"] for r in to_rows], dtype=np.int64)
-    to_mat = np.zeros((n_to, dim))
+    to_mat = np.zeros((len(to_rows), dim))
     for i, r in enumerate(to_rows):
         to_mat[i, np.asarray(r["tids"], dtype=np.int64)] = np.asarray(r["ws"])
     sc = spark.sparkContext
@@ -130,12 +167,24 @@ def tfidf_dense_topk_packed(
     top_n: int = 1,
     min_similarity: float = 0.0,
     exclude_self: bool = False,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Self-match dense top-n over PACKED vectors (doc_id, t: array<int>
-    dense vocab ids, w: array<float>) — the mapside-vectorizer output.
+    dense vocab ids, w: array<double>) — the mapside-vectorizer output.
     Same kernel and output contract as ``tfidf_dense_topk`` without the
-    relational term-row detour (one collect builds the corpus matrix)."""
+    relational term-row detour (one BOUNDED collect builds the corpus
+    matrix: callers over the ``fits_broadcast`` budget are refused and must
+    take ``operators.adaptive.tfidf_selfmatch_topk``'s blocked path).
+    ``n_docs``: pre-computed row count (skips the extra count job)."""
     spark = packed.sparkSession
+    if n_docs is None:
+        n_docs = packed.count()
+    if not fits_broadcast(n_docs, dim):
+        raise ValueError(
+            f"corpus ({n_docs} docs x {dim} terms) exceeds the dense "
+            "broadcast budget; use operators.adaptive.tfidf_selfmatch_topk "
+            "(blocked LSH + exact re-score)"
+        )
     rows = packed.collect()
     to_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     to_mat = np.zeros((len(rows), dim))
@@ -164,11 +213,28 @@ def embedding_dense_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = False,
+    lsh_conf: dict | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos_milli) — exact embedding cosine
     top-k, corpus broadcast as one L2-normalized matrix, queries streamed
-    through a batch matmul (replaces an n_q × n_c crossJoin)."""
+    through a batch matmul (replaces an n_q × n_c crossJoin).
+
+    Size-adaptive: when the corpus exceeds the ``fits_broadcast`` budget the
+    call degrades to the LSH-bucketed approximate path
+    (``knn.lsh_cosine_topk``, same output contract, recall < 1 by design —
+    the documented 100 TB shape). ``lsh_conf`` tunes that fallback
+    (n_planes/n_tables/seed)."""
     spark = queries.sparkSession
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    n_corpus = corpus.count()
+    if not fits_broadcast(n_corpus, dim):
+        from .knn import lsh_cosine_topk
+
+        return lsh_cosine_topk(
+            queries, corpus, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
+            exclude_self=exclude_self, **(lsh_conf or {}),
+        )
 
     def normed(df: DataFrame) -> DataFrame:
         vec = F.col(vec_col).cast("array<double>")

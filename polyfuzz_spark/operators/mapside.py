@@ -116,22 +116,28 @@ def fit_idf_mapside(docs: DataFrame, key_col: str = "key",
 
 def vectorize_packed_mapside(
     model: TfidfModel, docs: DataFrame, key_col: str = "key",
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", compact: bool = False,
 ) -> DataFrame:
-    """(doc_id, t: array<bigint> sorted, w: array<double>) packed
-    L2-normalized TF-IDF vectors, built entirely map-side from a broadcast
-    vocabulary. ``t`` holds dense vocabulary ids (sorted), consistent across
-    every output of the SAME model — both sides of
-    ``score_candidates_packed`` must come from one vectorizer family."""
+    """(doc_id, t: array<int> sorted dense vocab ids, w: array<double>)
+    packed L2-normalized TF-IDF vectors, built entirely map-side from a
+    broadcast vocabulary. ``t`` ids are consistent across every output of
+    the SAME model — both sides of ``score_candidates_packed`` must come
+    from one vectorizer family.
+
+    ``compact=True`` shrinks weights to float32 (halves shuffle/cache
+    bytes) — for the bench/pipeline path ONLY: the ~1e-7 relative weight
+    error perturbs cosines by ~1e-6, enough to flip a milli-quantization
+    within that distance of a .0005 boundary, so oracle-exact-checked paths
+    must keep the default float64."""
     spark = docs.sparkSession
     rows = sorted(model.idf.collect(), key=lambda r: r["term"])
     vocab = {r["term"]: (i, r["idf"]) for i, r in enumerate(rows)}
-    bc = spark.sparkContext.broadcast((vocab, model.config))
+    bc = spark.sparkContext.broadcast((vocab, model.config, compact))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.pygrams import doc_grams_py
 
-        vocab_l, cfg = bc.value
+        vocab_l, cfg, compact_l = bc.value
         for pdf in batches:
             ids, ts, ws = [], [], []
             for did, key in zip(pdf[id_col], pdf[key_col]):
@@ -149,28 +155,48 @@ def vectorize_packed_mapside(
                 tids, wts = tids[order], wts[order]
                 wts /= np.sqrt(wts @ wts)
                 ids.append(did)
-                # int32 tids (dense vocab ids) + float32 weights halve the
-                # shuffle/cache bytes; the scoring kernel accumulates the
-                # dot in float64, so milli-rounded scores are unaffected
                 ts.append(tids.astype(np.int32))
-                ws.append(wts.astype(np.float32))
+                ws.append(wts.astype(np.float32) if compact_l else wts)
             yield pd.DataFrame({"doc_id": ids, "t": ts, "w": ws})
 
+    w_type = "float" if compact else "double"
     return docs.select(id_col, key_col).mapInPandas(
-        gen, schema="doc_id long, t array<int>, w array<float>"
+        gen, schema=f"doc_id long, t array<int>, w array<{w_type}>"
     )
 
 
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_U64_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def _fnv1a_64(data: bytes) -> int:
+    h = _FNV_OFFSET
+    for byte in data:
+        h = ((h ^ byte) * _FNV_PRIME) & _U64_MASK
+    return h
+
+
 def _pack_grams_u64(grams: list[str]) -> np.ndarray:
-    """Exact uint64 encoding of distinct n-grams (n ≤ 8, 1-byte chars):
-    zero collisions, vectorizable."""
+    """uint64 encoding of distinct n-grams: grams of ≤ 8 UTF-8 bytes pack
+    EXACTLY (zero collisions); longer grams (n_gram_range max > 8, or
+    multi-byte text with clean_string=False) fall back to FNV-1a 64 —
+    deterministic, with ~|grams|²/2⁶⁴ collision probability instead of the
+    former silent first-8-bytes truncation merge."""
     if not grams:
         return np.empty(0, dtype=np.uint64)
     b = np.zeros((len(grams), 8), dtype=np.uint8)
+    long_idx: list[tuple[int, int]] = []
     for i, g in enumerate(grams):
-        eb = g.encode("utf-8")[:8]
-        b[i, : len(eb)] = np.frombuffer(eb, dtype=np.uint8)
-    return b.view(np.uint64).ravel()
+        eb = g.encode("utf-8")
+        if len(eb) <= 8:
+            b[i, : len(eb)] = np.frombuffer(eb, dtype=np.uint8)
+        else:
+            long_idx.append((i, _fnv1a_64(eb)))
+    packed = b.view(np.uint64).ravel().copy()
+    for i, h in long_idx:
+        packed[i] = np.uint64(h)
+    return packed
 
 
 def minhash_bands_mapside(

@@ -147,7 +147,9 @@ class ERPipeline:
 
         if not self.is_complete("scores"):
             model = fit_idf_mapside(docs, "key", cfg.tfidf)
-            packed = vectorize_packed_mapside(model, docs, "key")
+            # compact float32 weights: halves shuffle bytes; fine here
+            # because scores feed threshold/F1 decisions, not exact oracles
+            packed = vectorize_packed_mapside(model, docs, "key", compact=True)
             scores = score_candidates_packed(
                 self.read("candidates"), packed, packed
             )

@@ -47,23 +47,22 @@ def _tfidf_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ threshold, ranked on the QUANTIZED score so the ordering is identical
     in both engines even under float ulp drift.
 
-    Scoring goes through the dense broadcast-matmul path: the documents
-    corpus has a tiny trigram vocabulary (~75 terms), which makes the sparse
-    term self-join quadratic on hot terms (1.1B joined rows at sf0.1) while
-    a dense matmul is n×75. Fit + vectorization are the map-side kernels
-    (identical IDF values and weights as the relational path — oracle-
-    checked); the relational sparse join stays the large-vocab matcher
-    path. All variants produce identical milli-quantized scores."""
-    from .operators.dense_cosine import tfidf_dense_topk_packed
-    from .operators.mapside import fit_idf_mapside, vectorize_packed_mapside
+    Scoring goes through the SIZE-ADAPTIVE dispatcher
+    (operators/adaptive.py): below the broadcast budget the dense
+    broadcast-matmul path runs (the documents corpus has a tiny trigram
+    vocabulary (~75 terms), which makes the sparse term self-join quadratic
+    on hot terms — 1.1B joined rows at sf0.1 — while a dense matmul is
+    n×75); above it, blocked MinHash-LSH candidates + exact packed
+    re-scoring (the ER-pipeline scale path, no unbounded driver collect).
+    Fit + vectorization are the map-side kernels (identical IDF values and
+    weights as the relational path — oracle-checked, float64 end-to-end).
+    All variants produce identical milli-quantized scores on the pairs they
+    score."""
+    from .operators.adaptive import tfidf_selfmatch_topk
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
-    model = fit_idf_mapside(docs, "key")
-    dim = model.idf.count()
-    packed = vectorize_packed_mapside(model, docs, "key")
-    return tfidf_dense_topk_packed(
-        packed, dim, top_n=CLUSTER_TOP_N, min_similarity=TFIDF_MIN_SIM,
-        exclude_self=True,
+    return tfidf_selfmatch_topk(
+        docs, "key", top_n=CLUSTER_TOP_N, min_similarity=TFIDF_MIN_SIM,
     )
 
 
@@ -376,9 +375,13 @@ def q_embedding_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dense_cosine import embedding_dense_topk
 
     e = _embs(spark, sf_dir)
-    return embedding_dense_topk(e, e, k=3, exclude_self=True).withColumnRenamed(
-        "rank", "rnk"
-    )
+    # lsh_conf only matters if the corpus ever exceeds the broadcast budget
+    # (the adaptive fallback); tuned like q_embedding_knn_lsh — this
+    # corpus's true neighbors are weak (cos ≈ 0.36) so codes must be short
+    return embedding_dense_topk(
+        e, e, k=3, exclude_self=True,
+        lsh_conf={"n_planes": 4, "n_tables": 10},
+    ).withColumnRenamed("rank", "rnk")
 
 
 ORACLE_EMB_TOP3 = """
@@ -593,11 +596,16 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("df"),
         F.sum("tf").cast("bigint").alias("total_tf"),
     )
-    w = Window.orderBy(F.desc("df"), F.asc("term"))
-    return (
-        dfreq.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
-        .select("term", "df", "total_tf", "rnk")
+    # orderBy().limit(20) compiles to TakeOrderedAndProject (per-partition
+    # top-20 + driver merge) — no single-partition global window; the rank
+    # is then assigned on the driver over exactly 20 rows
+    top = sorted(
+        dfreq.orderBy(F.desc("df"), F.asc("term")).limit(20).collect(),
+        key=lambda r: (-r["df"], r["term"]),
+    )
+    return spark.createDataFrame(
+        [(r["term"], r["df"], r["total_tf"], i + 1) for i, r in enumerate(top)],
+        "term string, df bigint, total_tf bigint, rnk int",
     )
 
 

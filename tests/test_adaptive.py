@@ -1,0 +1,120 @@
+"""Size-switch tests: force every dense fast path over its broadcast budget
+(monkeypatched to 0) and verify the scale path that fires instead.
+
+* jaccard join path + minhash LSH path: EXACT — re-checked against the same
+  DuckDB oracles the driver runs.
+* TF-IDF blocked path: approximate candidate set, exact scores — every
+  emitted pair must carry the bit-identical milli score of the all-pairs
+  oracle (precision 1), with high top-1 agreement.
+* embedding LSH fallback: same output contract, recall floor vs brute force.
+* over-budget dense entrypoints refuse instead of collecting the corpus.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from polyfuzz_spark.operators import dedup, dense_cosine
+from polyfuzz_spark.queries import (
+    ORACLE_JACCARD,
+    ORACLE_MINHASH,
+    ORACLE_TFIDF_TOP1,
+    TFIDF_MIN_SIM,
+    _tfidf_oracle_cte,
+)
+from tests.oracle_compare import compare, duckdb_con
+
+SF = "/root/testdata/sf0.001"
+QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_con(SF)
+
+
+def test_jaccard_join_path_matches_oracle(spark, con, monkeypatch):
+    """DENSE_MAX_DOCS=0 forces the term-join path — exact, so the oracle
+    must stay green (the switch fires AND the fallback is correct)."""
+    monkeypatch.setattr(dedup, "DENSE_MAX_DOCS", 0)
+    got = QUERIES["ngram_jaccard_dups"](spark, SF)
+    exp = con.execute(ORACLE_JACCARD).df()
+    ok, msg = compare(got, exp)
+    assert ok, msg
+
+
+def test_minhash_lsh_path_matches_oracle(spark, con, monkeypatch):
+    """DENSE_MAX_DOCS=0 forces banded-LSH candidates + exact verify; at
+    j >= 0.8 with 32 bands x 4 rows the miss probability is ~5e-8, so the
+    exact oracle must match."""
+    monkeypatch.setattr(dedup, "DENSE_MAX_DOCS", 0)
+    got = QUERIES["minhash_near_dups"](spark, SF)
+    exp = con.execute(ORACLE_MINHASH).df()
+    ok, msg = compare(got, exp)
+    assert ok, msg
+
+
+def test_tfidf_blocked_path_fires_and_scores_exact(spark, con, monkeypatch):
+    """BROADCAST_MAX_DOCS=0 forces the blocked LSH + packed-rescore path.
+    Candidates are approximate (documented), but every score must be
+    bit-identical to the all-pairs oracle, and the top-1 assignment must
+    agree with the oracle on nearly every from-doc."""
+    monkeypatch.setattr(dense_cosine, "BROADCAST_MAX_DOCS", 0)
+    got = QUERIES["tfidf_match_top1"](spark, SF).toPandas()
+
+    exact = con.execute(
+        f"WITH {_tfidf_oracle_cte(TFIDF_MIN_SIM)} "
+        "SELECT from_id, to_id, sim_milli FROM pairs"
+    ).df()
+    merged = got[got.to_id.notna()].merge(
+        exact, on=["from_id", "to_id"], how="left", suffixes=("", "_exact")
+    )
+    assert merged.sim_milli_exact.notna().all(), "blocked path invented a pair"
+    assert (merged.sim_milli == merged.sim_milli_exact).all(), (
+        "blocked-path scores diverge from the exact oracle"
+    )
+
+    best = con.execute(ORACLE_TFIDF_TOP1).df()
+    j = got.set_index("from_id").join(
+        best.set_index("from_id"), rsuffix="_o"
+    )
+    same = (
+        (j.to_id.fillna(-1) == j.to_id_o.fillna(-1))
+        & (j.sim_milli == j.sim_milli_o)
+    ).mean()
+    assert same >= 0.9, f"top-1 agreement {same:.3f} < 0.9"
+
+
+def test_embedding_lsh_fallback_fires_with_recall(spark, monkeypatch):
+    exact = QUERIES["embedding_cosine_top3"](spark, SF).toPandas()
+    monkeypatch.setattr(dense_cosine, "BROADCAST_MAX_DOCS", 0)
+    approx = QUERIES["embedding_cosine_top3"](spark, SF)
+    assert approx.columns == ["query_id", "neighbor_id", "rnk", "cos_milli"]
+    apdf = approx.toPandas()
+    e1 = exact[exact.rnk == 1].set_index("query_id").neighbor_id
+    a1 = apdf[apdf.rnk == 1].set_index("query_id").neighbor_id
+    joined = e1.to_frame("e").join(a1.to_frame("a"), how="left")
+    recall = (joined.e == joined.a).mean()
+    assert recall >= 0.6, recall
+
+
+def test_dense_entrypoints_refuse_over_budget(spark, monkeypatch):
+    """The low-level dense ops must REFUSE (not silently collect) when the
+    corpus exceeds the broadcast budget."""
+    from polyfuzz_spark.operators.mapside import (
+        fit_idf_mapside,
+        vectorize_packed_mapside,
+    )
+    from polyfuzz_spark.operators.tfidf import vectorize
+
+    docs = spark.createDataFrame(
+        [(i, f"string number {i}") for i in range(20)], "doc_id long, key string"
+    )
+    model = fit_idf_mapside(docs, "key")
+    packed = vectorize_packed_mapside(model, docs, "key")
+    monkeypatch.setattr(dense_cosine, "BROADCAST_MAX_DOCS", 0)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        dense_cosine.tfidf_dense_topk_packed(packed, model.idf.count())
+    vec = vectorize(model, docs, "key")
+    with pytest.raises(ValueError, match="broadcast budget"):
+        dense_cosine.tfidf_dense_topk(vec, vec)

@@ -30,6 +30,37 @@ def test_grouper_two_lists(spark, from_list, to_list):
     assert rows["house"] == "mouse"  # unclustered → Group falls back to To
 
 
+def test_get_cluster_mappings_and_ids(spark, from_list, to_list):
+    """Facade parity for the reference accessors polyfuzz.py:375-427
+    (mirrors /root/reference/tests/test_polyfuzz.py:85-100: mappings
+    {'apples': 1, 'apple': 1} — same membership, engine cluster ids)."""
+    model = PolyFuzzSpark("TF-IDF", spark).match(from_list, to_list)
+    assert model.get_ids() == ["TF-IDF"]
+    with pytest.raises(ValueError, match="group"):
+        model.get_cluster_mappings()
+    model.group(link_min_similarity=0.75)
+    mappings = model.get_cluster_mappings().toPandas()
+    assert set(mappings.columns) == {"key", "cluster_id"}
+    assert set(mappings.key) == {"apples", "apple"}
+    assert mappings.cluster_id.nunique() == 1
+
+
+def test_group_accepts_string_grouper(spark, from_list, to_list):
+    """Reference polyfuzz.py:352-369 accepts model-name strings (its own
+    dispatch tests self.method and is partly unreachable; we implement the
+    documented intent)."""
+    model = PolyFuzzSpark("TF-IDF", spark).match(from_list, to_list)
+    model.group(model="TF-IDF", link_min_similarity=0.75)
+    assignments = model.get_clusters().toPandas()
+    clusters = assignments.groupby("cluster_id")["key"].apply(set).tolist()
+    assert clusters == [{"apples", "apple"}]
+
+    with pytest.raises(ValueError, match="choose one of"):
+        PolyFuzzSpark("TF-IDF", spark).match(from_list, to_list).group(
+            model="NoSuchModel"
+        )
+
+
 def test_grouper_same_list(spark, from_list):
     model = PolyFuzzSpark("TF-IDF", spark).match(from_list, from_list)
     model.group(link_min_similarity=0.75, group_all_strings=True)

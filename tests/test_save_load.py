@@ -38,3 +38,51 @@ def test_api_save_load_transform_parity(spark, from_list, to_list, tmp_path):
     loaded = PolyFuzzSpark.load(str(tmp_path / "pf"), spark)
     after = _canon(loaded.transform(from_list)["TF-IDF"])
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_save_load_roundtrips_every_matcher_config(spark, tmp_path):
+    """ADVICE r01: a matcher saved with non-default top_n/min_similarity
+    must reload with the SAME configuration for every matcher type (the
+    reference's joblib pickle round-trips whole objects)."""
+    from polyfuzz_spark.matchers import EmbeddingMatcher, TFIDFMatcher
+    from polyfuzz_spark.scorers.editdistance import RapidFuzzMatcher
+
+    m = PolyFuzzSpark(
+        [
+            TFIDFMatcher(n_gram_range=(2, 4), min_similarity=0.42, top_n=3,
+                         clean_string=False),
+            EmbeddingMatcher(min_similarity=0.75, top_n=5,
+                             model_id="emb"),
+            RapidFuzzMatcher(score_cutoff=0.3, scorer="token_sort_ratio",
+                             top_n=2, model_id="rf"),
+        ],
+        spark,
+    )
+    # register matchers without running match (configs only)
+    for matcher in m.method:
+        m._matchers[matcher.model_id] = matcher
+    m.save(str(tmp_path / "pf2"))
+    loaded = PolyFuzzSpark.load(str(tmp_path / "pf2"), spark)
+
+    tf = loaded._matchers["TF-IDF"]
+    assert tf.cfg.n_gram_range == (2, 4) and not tf.cfg.clean_string
+    assert tf.min_similarity == 0.42 and tf.top_n == 3
+    emb = loaded._matchers["emb"]
+    assert emb.min_similarity == 0.75 and emb.top_n == 5
+    rf = loaded._matchers["rf"]
+    assert rf.score_cutoff == 0.3 and rf.scorer == "token_sort_ratio"
+    assert rf.top_n == 2
+
+
+def test_save_refuses_unroundtrippable_custom_matcher(spark, tmp_path):
+    import pytest
+
+    from polyfuzz_spark.matchers import BaseSparkMatcher
+
+    class Custom(BaseSparkMatcher):
+        type = "Custom"
+
+    m = PolyFuzzSpark("TF-IDF", spark)
+    m._matchers["c"] = Custom()
+    with pytest.raises(NotImplementedError, match="round-trip"):
+        m.save(str(tmp_path / "pf3"))
