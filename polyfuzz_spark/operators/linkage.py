@@ -8,14 +8,18 @@ on falsy keys (``""``). We deliberately implement true transitive closure
 with deterministic representatives — a documented semantic upgrade mandated
 by the north rule — and verify the reference's golden clusters still hold.
 
-Algorithm: min-label propagation on the undirected edge set.
-    label(v) ← min(label(v), min_{(u,v)∈E} label(u)),   iterate to fixpoint.
-Each iteration is one shuffle (groupBy(node).min — map-side combinable, so
-hot nodes from giant components partial-aggregate before the shuffle; AQE
-skew-join splitting covers the join side). ``localCheckpoint`` truncates
-lineage each round so plans don't grow with iteration count. Convergence in
-O(log(diameter)) rounds with the large-star/small-star-style doubling we get
-from propagating labels (not ids) through both directions.
+Algorithm: min-label propagation WITH pointer jumping, per round:
+    (hop)   label(v) ← min(label(v), min_{(u,v)∈E} label(u))
+    (jump)  label(v) ← label(label(v))
+The hop is one groupBy(node).min (map-side combinable, so hot nodes from
+giant components partial-aggregate before the shuffle; AQE skew-join
+splitting covers the join side). The jump joins the label table onto itself
+— labels are always node keys, so the lookup lands — which halves the
+remaining distance to the component minimum each round: O(log diameter)
+rounds (a 1k-node path converges in ~10 rounds, not ~1000; pinned by
+``tests/test_grouping.py::test_connected_components_path_graph_log_rounds``).
+``localCheckpoint`` truncates lineage each round so plans don't grow with
+iteration count.
 
 Labels ARE the min string key, so the converged label doubles as the
 deterministic cluster representative (G3; divergence from the reference's
@@ -42,13 +46,16 @@ def filter_edges(matches: DataFrame, min_similarity: float = 0.75) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame, max_iterations: int = 50, stats: dict | None = None
 ) -> DataFrame:
     """(key, representative) for every node reachable through edges.
 
     ``edges``: (src: string, dst: string). Returns ONLY nodes that appear in
     at least one edge (singletons are not clusters, matching the reference:
     unmatched strings never enter cluster_mapping).
+
+    ``stats``: optional dict that receives {"iterations": n} — used by the
+    convergence-bound tests.
     """
     spark = edges.sparkSession
     sym = edges.union(
@@ -59,11 +66,15 @@ def connected_components(
     # size the iteration shuffles to the edge set: the driver loop pays
     # per-partition task overhead × iterations × jobs, so a small graph on a
     # large-session shuffle count (e.g. 64) spends more time scheduling than
-    # propagating labels. Restored after convergence.
+    # propagating labels. Restored in the finally (an exception mid-loop
+    # must not leave the whole session on 8 shuffle partitions).
     n_edges = sym.count()
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    cc_parts = max(8, min(int(old_parts), n_edges // 250_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    try:
+        base_parts = int(old_parts)
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+        base_parts = spark.sparkContext.defaultParallelism
+    cc_parts = max(8, min(base_parts, n_edges // 250_000 + 1))
 
     labels = (
         sym.select(F.col("src").alias("key"))
@@ -72,31 +83,56 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iterations):
-        # push every node's current label to each neighbor, take the min of
-        # (own label, incoming labels)
-        incoming = (
-            sym.join(labels, sym["src"] == labels["key"])
-            .select(sym["dst"].alias("key"), F.col("label"))
-        )
-        new_labels = (
-            labels.unionByName(incoming)
-            .groupBy("key")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "key")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-
-    spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    iterations = 0
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+        for _ in range(max_iterations):
+            iterations += 1
+            # hop: per-node min of incoming neighbor labels, folded into the
+            # own label with least() (null-skipping) — a join + map-side-
+            # combinable groupBy, no union (Catalyst's union constraint
+            # rewrite trips over self-join lineage here)
+            incoming = (
+                sym.join(labels, sym["src"] == labels["key"])
+                .select(sym["dst"].alias("key"), F.col("label").alias("nl"))
+            )
+            neighbor_min = incoming.groupBy("key").agg(
+                F.min("nl").alias("nmin")
+            )
+            hop = (
+                labels.join(neighbor_min, "key", "left")
+                .select("key", F.least("label", "nmin").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            # jump (pointer doubling): label ← label(label). Labels are
+            # node keys by construction so the self-lookup lands; this
+            # halves the distance to the component min every round →
+            # O(log diameter) convergence even on path graphs.
+            dim = hop.select(
+                F.col("key").alias("d_key"), F.col("label").alias("d_label")
+            )
+            new_labels = (
+                hop.join(dim, F.col("label") == F.col("d_key"), "left")
+                .select(
+                    "key",
+                    F.coalesce("d_label", "label").alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "key")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    if stats is not None:
+        stats["iterations"] = iterations
     return labels.select(
         "key",
         F.col("label").alias("representative"),

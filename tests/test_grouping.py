@@ -107,6 +107,24 @@ def test_connected_components_transitive(spark):
     ].cluster_id.iloc[0]
 
 
+def test_connected_components_path_graph_log_rounds(spark):
+    """Worst-case diameter: a 1000-node path must converge in O(log n)
+    rounds (pointer doubling), not O(n) — at corpus scale a path-shaped
+    component under one-hop propagation means hundreds of shuffle rounds."""
+    n = 1000
+    keys = [f"{i:06d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(keys[i], keys[i + 1]) for i in range(n - 1)],
+        "src string, dst string",
+    )
+    stats: dict = {}
+    out = connected_components(edges, stats=stats).toPandas()
+    assert set(out.representative) == {keys[0]}
+    assert len(out) == n
+    # log2(1000) ≈ 10; allow slack for the final no-change round
+    assert stats["iterations"] <= 15, stats
+
+
 def test_connected_components_empty_string_key(spark):
     # reference linkage.py breaks on falsy keys; we must not
     edges = spark.createDataFrame([("", "x")], "src string, dst string")
