@@ -11,9 +11,13 @@ content invariant, and a score distribution):
     clusters    edge filter + iterative connected components
 
 ``run()`` skips any stage whose manifest is already complete — kill the job
-after any stage and rerun with the same run_dir to resume. Writes are
-parquet here; on a real deployment the sink is Iceberg
-(``df.writeTo(...)``) — gated because the sandbox has no Iceberg jars.
+after any stage and rerun with the same run_dir to resume. The stage sink
+is pluggable behind ``ERConfig.iceberg_table_prefix``: when a catalog table
+prefix is configured every checkpoint goes through the DataFrameWriterV2
+(``df.writeTo(f"{prefix}_{stage}").createOrReplace()``) and resumes read
+``spark.read.table(...)``; unset (the sandbox default — no Iceberg jars
+here) it writes parquet under ``run_dir``. Writer selection is unit-tested
+(`tests/test_pipeline_e2e.py`); manifests behave identically either way.
 
 Partitioning notes (100 TB thinking):
 * ingest is repartitioned by doc_id hash so downstream joins see uniform
@@ -58,6 +62,10 @@ class ERConfig:
     link_min_similarity: float = 0.8
     top_n: int = 5
     tfidf: TfidfConfig = field(default_factory=TfidfConfig)
+    # Iceberg sink gate: a catalog table prefix (e.g. "cat.db.er_run1")
+    # switches every stage checkpoint from run_dir parquet to
+    # writeTo(f"{prefix}_{stage}").createOrReplace(); None = parquet
+    iceberg_table_prefix: str | None = None
 
 
 class ERPipeline:
@@ -85,21 +93,41 @@ class ERPipeline:
             return False
         return json.loads(mf.read_text()).get("complete", False)
 
+    def sink_kind(self) -> str:
+        """'iceberg' when a catalog table prefix is configured, else
+        'parquet' — the single switch both the writer and the reader obey."""
+        return "iceberg" if self.cfg.iceberg_table_prefix else "parquet"
+
+    def _table(self, stage: str) -> str:
+        return f"{self.cfg.iceberg_table_prefix}_{stage}"
+
+    def _write_stage(self, stage: str, df: DataFrame) -> None:
+        if self.sink_kind() == "iceberg":
+            df.writeTo(self._table(stage)).createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(str(self._path(stage)))
+
     def read(self, stage: str) -> DataFrame:
+        if self.sink_kind() == "iceberg":
+            return self.spark.read.table(self._table(stage))
         return self.spark.read.parquet(str(self._path(stage)))
 
     def _checkpoint(self, stage: str, df: DataFrame,
                     sim_col: str | None = None,
                     extra: dict | None = None) -> DataFrame:
-        out = str(self._path(stage))
-        df.write.mode("overwrite").parquet(out)
-        back = self.spark.read.parquet(out)
+        self._write_stage(stage, df)
+        back = self.read(stage)
         manifest = {
             "stage": stage,
             "rows": back.count(),
             "complete": True,
             "written_at": time.time(),
             "schema": back.schema.simpleString(),
+            "sink": self.sink_kind(),
+            "location": (
+                self._table(stage) if self.sink_kind() == "iceberg"
+                else str(self._path(stage))
+            ),
         }
         if sim_col is not None:
             dist = score_distribution(back, sim_col).collect()[0].asDict()

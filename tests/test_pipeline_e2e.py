@@ -58,6 +58,36 @@ def test_pipeline_f1_and_resume(spark, tmp_path):
     assert mf["rows"] > 0 and "score_distribution" in mf
 
 
+def test_sink_selection_parquet_vs_iceberg(spark, tmp_path):
+    """The stage sink is one switch: no prefix → parquet under run_dir;
+    a catalog prefix → DataFrameWriterV2 writeTo(createOrReplace) + read
+    via spark.read.table (the Iceberg deployment shape — jars absent in
+    the sandbox, so the writer call is captured with a stub)."""
+    pq = ERPipeline(spark, str(tmp_path / "a"), ERConfig())
+    assert pq.sink_kind() == "parquet"
+
+    cfg = ERConfig(iceberg_table_prefix="cat.db.er_run1")
+    ice = ERPipeline(spark, str(tmp_path / "b"), cfg)
+    assert ice.sink_kind() == "iceberg"
+    assert ice._table("scores") == "cat.db.er_run1_scores"
+
+    calls = {}
+
+    class _W:
+        def __init__(self, table):
+            self.table = table
+
+        def createOrReplace(self):
+            calls["table"] = self.table
+
+    class _DF:
+        def writeTo(self, table):
+            return _W(table)
+
+    ice._write_stage("matches", _DF())
+    assert calls == {"table": "cat.db.er_run1_matches"}
+
+
 def test_blocking_recall_on_planted_dups(spark):
     """Every same-entity pair must share ≥1 LSH band (candidate recall) on
     the planted-duplicate corpus."""

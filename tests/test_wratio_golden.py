@@ -1,0 +1,108 @@
+"""K2 — WRatio composite pinned hard (VERDICT r01 item 6).
+
+The composite has no SQL oracle (rapidfuzz is not installed and DuckDB has
+no twin), so it is pinned with (a) a golden table of pairs hand-computed
+from the public WRatio spec — covering all three length-ratio branches
+(< 1.5, [1.5, 8), >= 8) and their 0.95 / 0.9 / 0.6 scale factors — and
+(b) property tests (symmetry, 0-100 bounds, identity) over random strings.
+
+Hand derivations (ratio = 100 * 2*LCS / (la+lb), Indel similarity):
+* ("abcd","dcba"): LCS=1 -> ratio 25; single-token token_ratio 25*0.95
+  < 25 -> 25.
+* ("abcd","acbd"): LCS=3 -> ratio 75 -> 75.
+* ("hello world","world hello"): token_sort both "hello world" -> 100;
+  *0.95 = 95 > ratio (LCS<=10 -> ratio<=90.9) -> 95.
+* ("ab","abc"): len_ratio exactly 1.5 -> partial branch, scale 0.9;
+  partial_ratio=100 ("ab" prefix window) -> 90.
+* ("abc","abcdefgh"): len_ratio 8/3 -> scale 0.9; partial_ratio=100 -> 90
+  (full ratio 2*3/11*100 = 54.55, partial_token 100*0.95*0.9=85.5).
+* ("ab","abcdefghijklmnopq"): len_ratio 8.5 >= 8 -> scale 0.6;
+  partial_ratio=100 -> 60 (full ratio 4/19*100=21.05, 100*0.95*0.6=57).
+"""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from polyfuzz_spark.scorers.kernels import (
+    partial_ratio,
+    ratio,
+    token_ratio,
+    wratio,
+)
+
+GOLDENS = [
+    ("abcd", "abcd", 100.0),
+    ("abcd", "dcba", 25.0),
+    ("ab", "ba", 50.0),
+    ("abcd", "acbd", 75.0),
+    ("hello world", "world hello", 95.0),
+    ("ab", "abc", 90.0),               # len_ratio == 1.5 boundary
+    ("abc", "abcdefgh", 90.0),         # 1.5 <= len_ratio < 8
+    ("ab", "abcdefghijklmnopq", 60.0),  # len_ratio >= 8 boundary (8.5)
+    ("", "x", 0.0),
+    ("x", "", 0.0),
+    ("", "", 0.0),
+]
+
+
+@pytest.mark.parametrize("a,b,expected", GOLDENS)
+def test_wratio_goldens(a, b, expected):
+    assert math.isclose(wratio(a, b), expected, abs_tol=1e-9), (
+        a, b, wratio(a, b)
+    )
+
+
+def test_branch_scales_are_exact():
+    """The three scale factors must be exactly 0.95, 0.9 and 0.6 applied to
+    a perfect partial/token score."""
+    # token branch: perfect token_ratio, weak char ratio
+    assert wratio("hello world", "world hello") == token_ratio(
+        "hello world", "world hello"
+    ) * 0.95
+    # partial branch, scale 0.9
+    assert wratio("abc", "abcdefgh") == partial_ratio("abc", "abcdefgh") * 0.9
+    # partial branch, scale 0.6
+    long = "abcdefghijklmnopq"
+    assert wratio("ab", long) == partial_ratio("ab", long) * 0.6
+
+
+def test_len_ratio_boundaries():
+    """Branch switch at exactly 1.5 and exactly 8 (strictly-less tests)."""
+    # 3/2 = 1.5 -> partial branch (0.9 applies)
+    assert wratio("ab", "abc") == 90.0
+    # 16/2 = 8.0 -> scale drops to 0.6
+    assert wratio("ab", "ab" + "z" * 14) == 60.0
+    # 15/2 = 7.5 -> still 0.9
+    assert wratio("ab", "ab" + "z" * 13) == 90.0
+
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=25
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT, TEXT)
+def test_wratio_bounds_and_symmetry(a, b):
+    w = wratio(a, b)
+    assert 0.0 <= w <= 100.0
+    assert math.isclose(w, wratio(b, a), abs_tol=1e-9)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT.filter(lambda s: len(s) > 0))
+def test_wratio_identity(a):
+    assert wratio(a, a) == 100.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT, TEXT)
+def test_ratio_matches_lcs_formula(a, b):
+    from polyfuzz_spark.scorers.kernels import lcs_length
+
+    total = len(a) + len(b)
+    exp = 100.0 if total == 0 else 100.0 * 2 * lcs_length(a, b) / total
+    assert math.isclose(ratio(a, b), exp, abs_tol=1e-9)
