@@ -167,6 +167,40 @@ class PolyFuzzSpark:
             return _map(next(iter(self.clusters.values())))
         return {mid: _map(df) for mid, df in self.clusters.items()}
 
+    def visualize_precision_recall(self, precision_step: float = 0.01,
+                                   save_path: str | None = None):
+        """Reference ``visualize_precision_recall`` (polyfuzz.py:286-329,
+        metrics.py:56-142): threshold-sweep PR curve over the stored
+        matches. The DATA is computed in Spark (metrics.
+        precision_recall_curve — A4) and always returned as pandas
+        (columns min_precision, recall, average_precision; one frame, or a
+        dict per model id). Plotting runs only when matplotlib is
+        importable (not in this sandbox — the engine ships data, not
+        figures); ``save_path`` writes the figure when it is."""
+        if not self.matches:
+            raise ValueError("Make sure to run .match() first")
+        from .metrics import precision_recall_curve
+
+        curves = {
+            mid: precision_recall_curve(df, precision_step).toPandas()
+            for mid, df in self.matches.items()
+        }
+        try:
+            import matplotlib.pyplot as plt  # pragma: no cover
+        except ImportError:
+            plt = None
+        if plt is not None:  # pragma: no cover - sandbox has no matplotlib
+            for mid, pdf in curves.items():
+                plt.plot(pdf["min_precision"], pdf["recall"], label=mid)
+            plt.xlabel("min precision")
+            plt.ylabel("recall")
+            plt.legend()
+            if save_path:
+                plt.savefig(save_path)
+        if len(curves) == 1:
+            return next(iter(curves.values()))
+        return curves
+
     # ----------------------------------------------------- fit/transform
     def fit(self, from_list, to_list=None) -> "PolyFuzzSpark":
         self.match(from_list, to_list)
