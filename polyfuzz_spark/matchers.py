@@ -45,11 +45,21 @@ def _tagged(df: DataFrame, tag: str) -> DataFrame:
     )
 
 
+# auto-blocking switch: above this many total docs the full term join's
+# hot-key fan-out dominates and TFIDFMatcher routes through banded MinHash
+# candidates instead (scores stay exact; candidate recall is the documented
+# LSH tradeoff). Monkeypatchable in tests.
+AUTO_BLOCKING_MIN_DOCS = 100_000
+
+
 class TFIDFMatcher(BaseSparkMatcher):
     """Char n-gram TF-IDF cosine matcher (reference ``_tfidf.py``).
 
-    ``use_blocking``: above small scale, candidate pairs come from banded
-    MinHash blocking instead of the full term join; scores stay exact.
+    ``use_blocking``: candidate pairs come from banded MinHash blocking
+    instead of the full term join; scores stay exact. ``None`` (default) =
+    size-adaptive — blocking switches on automatically above
+    ``AUTO_BLOCKING_MIN_DOCS`` total docs, so the facade path never runs
+    the quadratic-on-hot-terms term self-join at corpus scale.
     """
 
     type = "TF-IDF"
@@ -62,7 +72,7 @@ class TFIDFMatcher(BaseSparkMatcher):
         top_n: int = 1,
         model_id: str | None = None,
         remove_space_ngrams: bool = True,
-        use_blocking: bool = False,
+        use_blocking: bool | None = None,
         blocking_conf: dict | None = None,
     ):
         super().__init__(model_id)
@@ -95,7 +105,13 @@ class TFIDFMatcher(BaseSparkMatcher):
             self.to_vec if (exclude_self and re_train)
             else vectorize(self.model, from_df, "key")
         )
-        if self.use_blocking:
+        use_blocking = self.use_blocking
+        if use_blocking is None:  # size-adaptive
+            n_total = from_df.count() + (
+                0 if exclude_self else to_df_eff.count()
+            )
+            use_blocking = n_total > AUTO_BLOCKING_MIN_DOCS
+        if use_blocking:
             from .operators.blocking import minhash_candidates
 
             cands = minhash_candidates(

@@ -98,6 +98,21 @@ def test_embedding_lsh_fallback_fires_with_recall(spark, monkeypatch):
     assert recall >= 0.6, recall
 
 
+def test_tfidf_matcher_auto_blocking_switch(spark, from_list, monkeypatch):
+    """use_blocking=None flips to banded-MinHash candidates above the
+    (monkeypatched) size threshold; high-similarity pairs must survive
+    blocking (j(apple, apples)=0.75 → P(≥1 band) ≈ 0.998, seeded)."""
+    import polyfuzz_spark.matchers as M
+    from polyfuzz_spark.api import lists_to_df
+
+    monkeypatch.setattr(M, "AUTO_BLOCKING_MIN_DOCS", 0)
+    matcher = M.TFIDFMatcher(min_similarity=0.3, top_n=1)
+    out = matcher.match_df(lists_to_df(spark, from_list)).toPandas()
+    assert len(out[out["rank"] == 1]) == 6
+    best = out[out["rank"] == 1].set_index("from_key").to_key
+    assert best["apple"] == "apples" and best["apples"] == "apple"
+
+
 def test_dense_entrypoints_refuse_over_budget(spark, monkeypatch):
     """The low-level dense ops must REFUSE (not silently collect) when the
     corpus exceeds the broadcast budget."""
