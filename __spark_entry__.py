@@ -1,11 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  — flagship match→group pipeline on sf0.001 documents.
-queries()     — 20 entries, one per implemented operator (SURVEY.md §2 +
+queries()     — 21 entries, one per implemented operator (SURVEY.md §2 +
                 the training-data-pipeline extensions), from
                 polyfuzz_spark.queries.
 oracle_sql()  — 17 exact DuckDB twins; approximate/composite operators
-                (LSH ANN, SimHash, WRatio) are rows-only by design.
+                (LSH ANN, IVF ANN, SimHash, WRatio) are rows-only by
+                design, with recall floors tested vs exact twins.
 """
 
 from __future__ import annotations

@@ -7,10 +7,15 @@
   the corpus, candidates come from same-bucket joins (multi-probe via
   several independent tables), exact cosine re-scores candidates. The scale
   path: each table join is an equi-join on a 16-bit key.
+* ``ivf_cosine_topk`` — inverted-file ANN: spherical k-means coarse
+  centroids (trained on a deterministic bounded hash-sample, Lloyd's in
+  numpy on the driver), corpus partitioned into cells map-side, queries
+  probe their ``n_probe`` nearest cells via one equi-join, candidates
+  exactly re-scored. Tunable recall/cost via (n_cells, n_probe); unlike
+  LSH the cell count directly bounds join fan-out (≈ n/n_cells per cell).
 
-Projection hyperplanes are generated from a seeded numpy RNG on the driver
-and inlined as literal arrays (dim ≤ a few hundred) — deterministic,
-no-shuffle, no UDF.
+Projection hyperplanes / centroids are generated or trained from a seeded
+numpy RNG on the driver — deterministic, broadcast-small.
 """
 
 from __future__ import annotations
@@ -71,6 +76,136 @@ def cosine_topk(
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def _spherical_kmeans(X: np.ndarray, n_cells: int, seed: int,
+                      iters: int = 10) -> np.ndarray:
+    """Lloyd's iterations with cosine assignment on L2-normalized rows:
+    assign by max dot, recenter by renormalized mean. Empty cells re-seed
+    from the training rows (deterministic RNG). Returns (n_cells, dim)."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    n_cells = min(n_cells, n)
+    C = X[rng.choice(n, size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = np.zeros_like(C)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                newC[c] = m / nrm if nrm > 0 else X[rng.integers(n)]
+            else:
+                newC[c] = X[rng.integers(n)]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    train_size: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k via an inverted file: same output contract as
+    ``cosine_topk`` ((query_id, neighbor_id, rank, cos_milli)), neighbors
+    drawn from each query's ``n_probe`` nearest coarse cells and exactly
+    re-scored. Recall < 1 by design — evaluated, not oracle-matched.
+
+    Scale shape: training collects a BOUNDED deterministic hash-sample
+    (``orderBy(hash).limit(train_size)`` → per-partition top-N heap, no
+    global sort); assignment and probing are map-side matmuls against the
+    broadcast (n_cells × dim) centroid matrix; the only shuffle is the
+    (cell) equi-join whose fan-out is ≈ n_probe · n/n_cells per query."""
+    spark = queries.sparkSession
+    q = _norm_vec(queries, "query_id", "q_vec", id_col, vec_col)
+    c = _norm_vec(corpus, "neighbor_id", "c_vec", id_col, vec_col)
+    # the normalized corpus feeds training, assignment AND scoring
+    c = c.localCheckpoint(eager=True)
+
+    sample = (
+        c.select("c_vec", F.xxhash64(F.col("neighbor_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(train_size)
+        .collect()
+    )
+    X = np.array([r["c_vec"] for r in sample])
+    C = _spherical_kmeans(X, n_cells, seed)
+    bc_c = spark.sparkContext.broadcast(C)
+
+    def cell_rows(id_name: str, vec_name: str, top: int):
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cent = bc_c.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array([np.asarray(v) for v in pdf[vec_name]])
+                sims = V @ cent.T
+                if top == 1:
+                    cells = np.argmax(sims, axis=1)[:, None]
+                else:
+                    t = min(top, sims.shape[1])
+                    cells = np.argpartition(-sims, t - 1, axis=1)[:, :t]
+                ids = np.repeat(pdf[id_name].to_numpy(), cells.shape[1])
+                yield pd.DataFrame(
+                    {id_name: ids, "cell": cells.ravel().astype(np.int32)}
+                )
+
+        return gen
+
+    c_cells = c.select("neighbor_id", "c_vec").mapInPandas(
+        cell_rows("neighbor_id", "c_vec", 1),
+        schema="neighbor_id long, cell int",
+    )
+    q_cells = q.select("query_id", "q_vec").mapInPandas(
+        cell_rows("query_id", "q_vec", n_probe),
+        schema="query_id long, cell int",
+    )
+    # the cell join's OUTPUT is ~n_probe·n/n_cells rows per query while its
+    # input is tiny — pre-spread it so AQE's input-size coalescing doesn't
+    # squeeze the scoring onto a few tasks
+    n_part = spark.sparkContext.defaultParallelism * 4
+    cand = (
+        q_cells.repartition(n_part, "cell")
+        .join(c_cells, "cell")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(_dot("q_vec", "c_vec") * 1000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cos_milli"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_milli"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_milli")
+    )
 
 
 def lsh_cosine_topk(

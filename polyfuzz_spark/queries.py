@@ -414,6 +414,19 @@ def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluated in tests
 
 
+def q_embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical-k-means coarse cells + n_probe probing + exact
+    re-score (operators/knn.ivf_cosine_topk). Rows-only like the LSH
+    variant (approximate by design); recall vs brute force is evaluated in
+    tests. Cell/probe counts tuned for the weak-neighbor test corpus."""
+    from .operators.knn import ivf_cosine_topk
+
+    e = _embs(spark, sf_dir)
+    return ivf_cosine_topk(
+        e, e, k=3, n_cells=16, n_probe=6, exclude_self=True
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed; schema/batch shape real)
 # --------------------------------------------------------------------------
@@ -743,6 +756,7 @@ def all_queries():
         "docs_by_lang_source": q_docs_by_lang_source,
         "embedding_cosine_top3": q_embedding_cosine_top3,
         "embedding_knn_lsh": q_embedding_knn_lsh,
+        "embedding_knn_ivf": q_embedding_knn_ivf,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "wratio_top1": q_wratio_top1,

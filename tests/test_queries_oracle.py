@@ -25,7 +25,8 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
     # approximate/composite ops are deliberately rows-only
     assert set(QUERIES) - set(ORACLES) == {
-        "simhash_near_dups", "embedding_knn_lsh", "wratio_top1",
+        "simhash_near_dups", "embedding_knn_lsh", "embedding_knn_ivf",
+        "wratio_top1",
     }
 
 
@@ -52,12 +53,14 @@ def test_entry_smoke(spark):
     )
 
 
-def test_lsh_ann_recall_vs_exact(spark):
-    """The approximate ANN must agree with brute force on most top-1s."""
+@pytest.mark.parametrize("ann", ["embedding_knn_lsh", "embedding_knn_ivf"])
+def test_ann_recall_vs_exact(spark, ann):
+    """Every approximate ANN variant must agree with brute force on most
+    top-1s."""
     exact = QUERIES["embedding_cosine_top3"](spark, SF).toPandas()
-    approx = QUERIES["embedding_knn_lsh"](spark, SF).toPandas()
+    approx = QUERIES[ann](spark, SF).toPandas()
     e1 = exact[exact.rnk == 1].set_index("query_id").neighbor_id
     a1 = approx[approx["rank"] == 1].set_index("query_id").neighbor_id
     joined = e1.to_frame("e").join(a1.to_frame("a"), how="left")
     recall = (joined.e == joined.a).mean()
-    assert recall >= 0.6, recall
+    assert recall >= 0.6, f"{ann}: {recall}"

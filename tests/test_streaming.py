@@ -73,6 +73,64 @@ def test_stream_equals_batch(spark, fitted, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_windowed_rollup_stream_matches_batch_to_watermark(spark, tmp_path):
+    """Watermarked tumbling-window rollup: the streamed append-mode output
+    must equal the batch twin restricted to windows CLOSED by the final
+    watermark (late-data semantics — trailing windows stay in state)."""
+    import pyspark.sql.functions as F
+
+    from polyfuzz_spark.streaming.windows import (
+        hourly_rollup,
+        stream_hourly_rollup_parquet,
+    )
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("ts", "event_type", "value")
+    )
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    events.write.parquet(in_dir)
+
+    q = stream_hourly_rollup_parquet(
+        spark, in_dir, "ts timestamp, event_type string, value double",
+        out_dir, ck_dir, watermark="2 hours",
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) - pd.Timedelta(hours=2)
+    batch = hourly_rollup(events).toPandas()
+    closed = (
+        batch[batch.window_end < cutoff]
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    # every emitted window is closed and bit-identical to the batch twin
+    merged = got.merge(
+        batch,
+        on=["window_start", "window_end", "event_type"],
+        suffixes=("", "_b"),
+    )
+    assert len(merged) == len(got)
+    assert (merged.n_events == merged.n_events_b).all()
+    assert (merged.sum_cents == merged.sum_cents_b).all()
+    # every window strictly before the final watermark was emitted, and
+    # nothing at/after max_ts's open window leaked out
+    assert set(map(tuple, got[["window_start", "event_type"]].values)) >= set(
+        map(tuple, closed[["window_start", "event_type"]].values)
+    )
+    assert got.window_end.max() <= pd.Timestamp(max_ts).ceil("h")
+
+
 def test_stream_resume_is_exactly_once(spark, fitted, tmp_path):
     """Re-running with the same checkpoint must not duplicate output rows."""
     _, _, index = fitted
