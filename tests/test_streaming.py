@@ -131,6 +131,59 @@ def test_windowed_rollup_stream_matches_batch_to_watermark(spark, tmp_path):
     assert got.window_end.max() <= pd.Timestamp(max_ts).ceil("h")
 
 
+def test_stateful_sessionization_stream_vs_batch(spark, tmp_path):
+    """applyInPandasWithState gap-sessionizer: every emitted session must be
+    bit-identical to the batch twin, sessions spanning micro-batch
+    boundaries must merge through state, and every session closed by a
+    successor event must be emitted by drain end."""
+    import pyspark.sql.functions as F
+
+    from polyfuzz_spark.streaming.sessions import (
+        sessionize_batch,
+        stream_sessions_parquet,
+    )
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("ts", "user_id", "event_id")
+    )
+    median = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    # time-ordered split → two files → two micro-batches (watermark
+    # advances between them, so open state carries across batches)
+    mid_ts = events.agg(
+        F.expr("percentile(unix_timestamp(ts), 0.5)")
+    ).collect()[0][0]
+    events.where(F.unix_timestamp("ts") <= mid_ts).write.parquet(in_dir)
+    events.where(F.unix_timestamp("ts") > mid_ts).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    q = stream_sessions_parquet(
+        spark, in_dir, "ts timestamp, user_id long, event_id long",
+        out_dir, ck_dir, gap_s=1800, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    batch = sessionize_batch(events).toPandas()
+    assert len(got) > 0
+    # exactness: every emitted session exists in the batch twin verbatim
+    cols = ["user_id", "start_sec", "end_sec", "n_events"]
+    merged = got.merge(batch, on=cols)
+    assert len(merged) == len(got)
+    assert not got.duplicated(cols).any()
+    # completeness: sessions closed by a successor event (all but each
+    # user's final session) must all have been emitted
+    last_start = batch.groupby("user_id")["start_sec"].transform("max")
+    non_final = batch[batch["start_sec"] < last_start]
+    if len(non_final):
+        nf_merged = non_final.merge(got, on=cols)
+        assert len(nf_merged) == len(non_final)
+
+
 def test_stream_resume_is_exactly_once(spark, fitted, tmp_path):
     """Re-running with the same checkpoint must not duplicate output rows."""
     _, _, index = fitted
