@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  — flagship match→group pipeline on sf0.001 documents.
-queries()     — 21 entries, one per implemented operator (SURVEY.md §2 +
+queries()     — 22 entries, one per implemented operator (SURVEY.md §2 +
                 the training-data-pipeline extensions), from
                 polyfuzz_spark.queries.
-oracle_sql()  — 17 exact DuckDB twins; approximate/composite operators
+oracle_sql()  — 18 exact DuckDB twins; approximate/composite operators
                 (LSH ANN, IVF ANN, SimHash, WRatio) are rows-only by
                 design, with recall floors tested vs exact twins.
 """

@@ -206,6 +206,90 @@ def tfidf_dense_topk_packed(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_conf: dict | None = None,
+) -> DataFrame:
+    """(from_id, to_id, cos_milli) — all UNORDERED pairs (from_id < to_id)
+    with cosine ≥ threshold: embedding near-duplicate detection for
+    training-data dedup.
+
+    Within the broadcast budget: one streamed matmul against the broadcast
+    normalized corpus, each batch emitting only above-threshold upper-
+    triangle pairs (exact — oracle-checked). Over budget: LSH-bucketed
+    candidates exactly re-scored and thresholded (recall < 1, the
+    documented ANN tradeoff; precision stays 1 because scores are exact).
+    """
+    spark = corpus.sparkSession
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    n_corpus = corpus.count()
+    min_milli = int(round(threshold * 1000))
+    if not fits_broadcast(n_corpus, dim):
+        from .knn import lsh_cosine_topk
+
+        # LSH candidates with exact re-score ≥ threshold: reuse the bucketed
+        # top-k machinery with k → corpus (every candidate above threshold
+        # survives the window), then threshold + orient the pair
+        topk = lsh_cosine_topk(
+            corpus, corpus, k=n_corpus, dim=dim, id_col=id_col,
+            vec_col=vec_col, exclude_self=True, **(lsh_conf or {}),
+        )
+        return (
+            topk.where(
+                (F.col("cos_milli") >= min_milli)
+                & (F.col("query_id") < F.col("neighbor_id"))
+            )
+            .select(
+                F.col("query_id").alias("from_id"),
+                F.col("neighbor_id").alias("to_id"),
+                "cos_milli",
+            )
+        )
+
+    def normed(df: DataFrame) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(vec, lambda x: x / nrm).alias("v"),
+        )
+
+    c_rows = normed(corpus).collect()
+    to_ids = np.array([r["doc_id"] for r in c_rows], dtype=np.int64)
+    to_mat = np.array([r["v"] for r in c_rows])
+    bc_ids = spark.sparkContext.broadcast(to_ids)
+    bc_mat = spark.sparkContext.broadcast(to_mat)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_np = bc_ids.value
+        mat = bc_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_ids = pdf["doc_id"].to_numpy()
+            Q = np.array([np.asarray(v) for v in pdf["v"]])
+            milli = np.floor(Q @ mat.T * 1000 + 0.5).astype(np.int64)
+            out_f, out_t, out_c = [], [], []
+            for i in range(len(pdf)):
+                keep = np.nonzero(
+                    (milli[i] >= min_milli) & (ids_np > q_ids[i])
+                )[0]
+                out_f.extend([q_ids[i]] * len(keep))
+                out_t.extend(ids_np[keep])
+                out_c.extend(milli[i][keep])
+            yield pd.DataFrame(
+                {"from_id": out_f, "to_id": out_t, "cos_milli": out_c}
+            )
+
+    return normed(corpus).mapInPandas(
+        gen, schema="from_id long, to_id long, cos_milli long"
+    )
+
+
 def embedding_dense_topk(
     queries: DataFrame,
     corpus: DataFrame,

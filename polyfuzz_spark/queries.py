@@ -400,6 +400,35 @@ SELECT query_id, neighbor_id, rnk, cos_milli FROM ranked WHERE rnk <= 3
 """
 
 
+EMB_DUP_T = 0.3
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup): all
+    unordered pairs with cosine ≥ EMB_DUP_T, exact within the broadcast
+    budget (oracle-checked), LSH-candidates + exact re-score over it."""
+    from .operators.dense_cosine import embedding_near_dup_pairs
+
+    e = _embs(spark, sf_dir)
+    return embedding_near_dup_pairs(
+        e, threshold=EMB_DUP_T,
+        lsh_conf={"n_planes": 4, "n_tables": 10},
+    )
+
+
+ORACLE_EMB_DUPS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS from_id, b.vec_id AS to_id,
+         CAST(floor(list_cosine_similarity(a.v, b.v) * 1000 + 0.5) AS BIGINT)
+           AS cos_milli
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT from_id, to_id, cos_milli FROM pairs
+WHERE cos_milli >= {int(EMB_DUP_T * 1000)}
+"""
+
+
 def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.knn import lsh_cosine_topk
 
@@ -755,6 +784,7 @@ def all_queries():
         "doc_stats": q_doc_stats,
         "docs_by_lang_source": q_docs_by_lang_source,
         "embedding_cosine_top3": q_embedding_cosine_top3,
+        "embedding_near_dups": q_embedding_near_dups,
         "embedding_knn_lsh": q_embedding_knn_lsh,
         "embedding_knn_ivf": q_embedding_knn_ivf,
         "media_features": q_media_features,
@@ -781,6 +811,7 @@ def all_oracles():
         "doc_stats": _oracle_doc_stats(),
         "docs_by_lang_source": _oracle_docs_by_lang_source(),
         "embedding_cosine_top3": ORACLE_EMB_TOP3,
+        "embedding_near_dups": ORACLE_EMB_DUPS,
         "media_features": ORACLE_MEDIA,
         "media_frames": ORACLE_MEDIA_FRAMES,
         # wratio_top1: composite kernel, no SQL twin → rows-only

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
 from polyfuzz_spark.operators import dedup, dense_cosine
 from polyfuzz_spark.queries import (
+    ORACLE_EMB_DUPS,
     ORACLE_JACCARD,
     ORACLE_MINHASH,
     ORACLE_TFIDF_TOP1,
@@ -96,6 +97,19 @@ def test_embedding_lsh_fallback_fires_with_recall(spark, monkeypatch):
     joined = e1.to_frame("e").join(a1.to_frame("a"), how="left")
     recall = (joined.e == joined.a).mean()
     assert recall >= 0.6, recall
+
+
+def test_embedding_near_dups_lsh_fallback(spark, con, monkeypatch):
+    """Over budget, near-dup detection takes LSH candidates + exact
+    re-score: precision must stay 1 (every emitted pair exists in the
+    oracle with the identical milli score); recall has an LSH floor."""
+    exact = con.execute(ORACLE_EMB_DUPS).df()
+    monkeypatch.setattr(dense_cosine, "BROADCAST_MAX_DOCS", 0)
+    got = QUERIES["embedding_near_dups"](spark, SF).toPandas()
+    merged = got.merge(exact, on=["from_id", "to_id"], suffixes=("", "_e"))
+    assert len(merged) == len(got), "LSH fallback emitted a non-oracle pair"
+    assert (merged.cos_milli == merged.cos_milli_e).all()
+    assert len(got) >= 0.5 * len(exact), (len(got), len(exact))
 
 
 def test_tfidf_matcher_auto_blocking_switch(spark, from_list, monkeypatch):
