@@ -41,6 +41,13 @@ def _milli(col) -> F.Column:
 # --------------------------------------------------------------------------
 TFIDF_MIN_SIM = 0.3
 
+# shared materialized intermediate: three contract queries (top-1, clusters,
+# PR curve) consume the same ranked-pairs table, so it is localCheckpointed
+# once per (session, sf_dir, broadcast-budget) and reused — the engine
+# analog of a materialized view over a common subplan. Budget values key
+# the cache so tests that monkeypatch the size switch recompute.
+_RANKED_CACHE: dict = {}
+
 
 def _tfidf_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(from_id, to_id, sim_milli, rnk) — self-match top-CLUSTER_TOP_N pairs
@@ -58,12 +65,23 @@ def _tfidf_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights as the relational path — oracle-checked, float64 end-to-end).
     All variants produce identical milli-quantized scores on the pairs they
     score."""
+    from .operators import dense_cosine
     from .operators.adaptive import tfidf_selfmatch_topk
 
-    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
-    return tfidf_selfmatch_topk(
-        docs, "key", top_n=CLUSTER_TOP_N, min_similarity=TFIDF_MIN_SIM,
+    key = (
+        id(spark), sf_dir,
+        dense_cosine.BROADCAST_MAX_DOCS, dense_cosine.BROADCAST_MAX_BYTES,
     )
+    hit = _RANKED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    ranked = tfidf_selfmatch_topk(
+        docs, "key", top_n=CLUSTER_TOP_N, min_similarity=TFIDF_MIN_SIM,
+    ).localCheckpoint(eager=True)
+    _RANKED_CACHE.clear()  # keep exactly one materialized table alive
+    _RANKED_CACHE[key] = ranked
+    return ranked
 
 
 def q_tfidf_match_top1(spark: SparkSession, sf_dir: str) -> DataFrame:

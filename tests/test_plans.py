@@ -67,6 +67,29 @@ def test_whole_stage_codegen_present(spark):
     assert "WholeStageCodegen subtree" in out and "*(1)" in out
 
 
+# every contract query that is not an intentional small-slice crossJoin
+# (edit-distance scans on 50×50 slices, the broadcast threshold-table sweep)
+# must plan WITHOUT nested-loop/cartesian joins — the regression net for
+# the class of bug fixed in EmbeddingMatcher (non-equi self-join)
+NO_NESTED_LOOP = [
+    "tfidf_match_top1", "cluster_assignments", "exact_dedup_prefix",
+    "ngram_jaccard_dups", "minhash_near_dups", "simhash_near_dups",
+    "doc_stats", "docs_by_lang_source", "embedding_cosine_top3",
+    "embedding_near_dups", "embedding_knn_lsh", "embedding_knn_ivf",
+    "media_features", "media_frames", "top_terms", "events_hourly",
+    "user_sessions",
+]
+
+
+@pytest.mark.parametrize("name", NO_NESTED_LOOP)
+def test_no_nested_loop_joins(spark, name):
+    from polyfuzz_spark.queries import all_queries
+
+    plan = plan_of(all_queries()[name](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
 def test_dedup_groupby_prunes_to_two_columns(spark):
     plan = plan_of(q_exact_dedup_prefix(spark, SF))
     for ln in plan.splitlines():
