@@ -68,8 +68,10 @@ def _tfidf_ranked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dense_cosine
     from .operators.adaptive import tfidf_selfmatch_topk
 
+    # applicationId, not id(spark): a new session can reuse a GC'd object's
+    # address, which would serve a checkpointed RDD from a dead context
     key = (
-        id(spark), sf_dir,
+        spark.sparkContext.applicationId, sf_dir,
         dense_cosine.BROADCAST_MAX_DOCS, dense_cosine.BROADCAST_MAX_BYTES,
     )
     hit = _RANKED_CACHE.get(key)
