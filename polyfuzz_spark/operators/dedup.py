@@ -238,7 +238,7 @@ def minhash_near_dups(
         docs, None, key_col, cfg, num_hashes=num_hashes, bands=bands,
         max_bucket_size=None,
     ).where(F.col("from_id") < F.col("to_id"))
-    g = _distinct_grams(docs, key_col, n)
+    g = g0  # the eligibility-checked gram table IS the verify input
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = g.select(F.col("doc_id").alias("from_id"), "term")
     gb = g.select(F.col("doc_id").alias("gb_id"), F.col("term").alias("t_b"))
