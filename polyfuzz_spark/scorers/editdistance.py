@@ -69,16 +69,29 @@ def pair_scorer_udf(kernel: str):
 
 
 def _candidate_pairs(
-    from_df: DataFrame, to_df: DataFrame | None, use_blocking: bool,
+    from_df: DataFrame, to_df: DataFrame | None, use_blocking: bool | None,
     blocking_conf: dict | None,
 ) -> tuple[DataFrame, DataFrame, bool]:
-    """(pairs(from_id, from_key, to_id, to_key), to_df_effective, excl_self)."""
+    """(pairs(from_id, from_key, to_id, to_key), to_df_effective, excl_self).
+
+    ``use_blocking=None`` = size-adaptive, same rule as TFIDFMatcher: the
+    full crossJoin scan is quadratic, so above
+    ``matchers.AUTO_BLOCKING_MIN_DOCS`` total docs candidates come from
+    banded MinHash blocking instead (the reference's extractOne scans every
+    to-string; at corpus scale that is the blocked candidate set)."""
     exclude_self = to_df is None
     to_eff = to_df if to_df is not None else from_df
     f = from_df.select(
         F.col("doc_id").alias("from_id"), F.col("key").alias("f_key")
     )
     t = to_eff.select(F.col("doc_id").alias("to_id"), F.col("key").alias("t_key"))
+    if use_blocking is None:
+        from ..matchers import AUTO_BLOCKING_MIN_DOCS
+
+        n_total = from_df.count() + (
+            0 if exclude_self else to_eff.count()
+        )
+        use_blocking = n_total > AUTO_BLOCKING_MIN_DOCS
     if use_blocking:
         from ..operators.blocking import minhash_candidates
 
@@ -98,7 +111,8 @@ class RapidFuzzMatcher(BaseSparkMatcher):
 
     def __init__(self, score_cutoff: float = 0.0, scorer: str = "WRatio",
                  top_n: int = 1, model_id: str | None = None,
-                 use_blocking: bool = False, blocking_conf: dict | None = None):
+                 use_blocking: bool | None = None,
+                 blocking_conf: dict | None = None):
         super().__init__(model_id)
         self.score_cutoff = score_cutoff
         self.scorer = validate_kernel(scorer)
@@ -130,7 +144,8 @@ class EditDistanceMatcher(BaseSparkMatcher):
     type = "EditDistance"
 
     def __init__(self, scorer: str = "ratio", normalize: bool = True,
-                 model_id: str | None = None, use_blocking: bool = False,
+                 model_id: str | None = None,
+                 use_blocking: bool | None = None,
                  blocking_conf: dict | None = None):
         super().__init__(model_id)
         self.scorer = validate_kernel(scorer)

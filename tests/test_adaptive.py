@@ -127,6 +127,24 @@ def test_tfidf_matcher_auto_blocking_switch(spark, from_list, monkeypatch):
     assert best["apple"] == "apples" and best["apples"] == "apple"
 
 
+def test_editdistance_matcher_auto_blocking_switch(spark, from_list,
+                                                   monkeypatch):
+    """RapidFuzz/EditDistance matchers share the size-adaptive blocking
+    rule — above the (monkeypatched) threshold the scan runs on MinHash
+    candidates, and near-identical strings still find each other."""
+    import polyfuzz_spark.matchers as M
+    from polyfuzz_spark.api import lists_to_df
+    from polyfuzz_spark.scorers.editdistance import RapidFuzzMatcher
+
+    monkeypatch.setattr(M, "AUTO_BLOCKING_MIN_DOCS", 0)
+    out = RapidFuzzMatcher().match_df(
+        lists_to_df(spark, from_list)
+    ).toPandas()
+    assert len(out[out["rank"] == 1]) == 6
+    best = out[out["rank"] == 1].set_index("from_key").to_key
+    assert best["apple"] == "apples" and best["appl"] in ("apple", "apples")
+
+
 def test_dense_entrypoints_refuse_over_budget(spark, monkeypatch):
     """The low-level dense ops must REFUSE (not silently collect) when the
     corpus exceeds the broadcast budget."""
