@@ -124,8 +124,15 @@ class PolyFuzzSpark:
 
                 grouper = RapidFuzzMatcher()
             elif model == "Embeddings":
-                grouper = EmbeddingMatcher(
-                    min_similarity=link_min_similarity
+                # grouping re-matches bare To-strings; EmbeddingMatcher
+                # needs an (doc_id, key, embedding) source and this engine
+                # has no string-encode step (the reference's Flair/SBERT
+                # encoder is a plug point, SURVEY §2.8 K4) — fail the
+                # contract clearly instead of deep in the plan
+                raise ValueError(
+                    "the 'Embeddings' grouper needs an encode step: wrap "
+                    "your encoder in a BaseSparkMatcher that produces "
+                    "(doc_id, key, embedding) and pass that instance"
                 )
             else:
                 raise ValueError(
@@ -254,12 +261,16 @@ class PolyFuzzSpark:
                 "score_cutoff": matcher.score_cutoff,
                 "scorer": matcher.scorer,
                 "top_n": matcher.top_n,
+                "use_blocking": matcher.use_blocking,
+                "blocking_conf": matcher.blocking_conf,
             }
         if isinstance(matcher, EditDistanceMatcher):
             return {
                 "class": "EditDistanceMatcher",
                 "scorer": matcher.scorer,
                 "normalize": matcher.normalize,
+                "use_blocking": matcher.use_blocking,
+                "blocking_conf": matcher.blocking_conf,
             }
         raise NotImplementedError(
             f"save() cannot round-trip custom matcher type "
@@ -295,12 +306,16 @@ class PolyFuzzSpark:
                 score_cutoff=cfg["score_cutoff"],
                 scorer=cfg["scorer"],
                 top_n=cfg["top_n"],
+                use_blocking=cfg.get("use_blocking"),
+                blocking_conf=cfg.get("blocking_conf"),
             )
         if cls == "EditDistanceMatcher":
             return EditDistanceMatcher(
                 model_id=model_id,
                 scorer=cfg["scorer"],
                 normalize=cfg["normalize"],
+                use_blocking=cfg.get("use_blocking"),
+                blocking_conf=cfg.get("blocking_conf"),
             )
         raise ValueError(f"unknown matcher class in manifest: {cls!r}")
 

@@ -56,7 +56,14 @@ def tfidf_selfmatch_topk(
     cfg = cfg or TfidfConfig()
     model = fit_idf_mapside(docs, key_col, cfg, id_col=id_col)
     dim = model.idf.count()
-    packed = vectorize_packed_mapside(model, docs, key_col, id_col=id_col)
+    # materialize the packed vectors ONCE: the dense branch reads them
+    # twice (driver collect for the broadcast matrix + the streamed
+    # mapInPandas side) and the blocked branch feeds both sides of the
+    # candidate join — without the checkpoint the Python vectorization
+    # kernel re-runs per consumer (lineage re-execution)
+    packed = vectorize_packed_mapside(
+        model, docs, key_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     if dense_cosine.fits_broadcast(model.n_docs, dim):
         return dense_cosine.tfidf_dense_topk_packed(
             packed, dim, top_n=top_n, min_similarity=min_similarity,
@@ -67,9 +74,7 @@ def tfidf_selfmatch_topk(
 
     # blocked scale path: band keys map-side, candidates from the capped
     # banded equi-join (both orientations, diagonal excluded), exact cosine
-    # on candidates only. packed is materialized once — it feeds BOTH sides
-    # of the candidate join.
-    packed = packed.localCheckpoint(eager=True)
+    # on candidates only.
     band_rows = minhash_bands_mapside(
         docs, key_col, cfg, num_hashes=num_hashes, bands=bands, id_col=id_col
     )

@@ -71,33 +71,45 @@ def _jaccard_dense(
     collect and the broadcast (uint8 incidence: n_docs × vocab bytes) are
     budget-capped, never corpus-unbounded.
     """
-    from collections.abc import Iterator
+    packed = _packed_tids(g).localCheckpoint(eager=True)
+    return _jaccard_dense_packed(packed, threshold)
 
-    import numpy as np
-    import pandas as pd
 
+def _packed_tids(g: DataFrame) -> DataFrame:
+    """(doc_id, ts: array<int> sorted dense gram ids) — term → id mapped
+    JVM-side via a broadcast dimension (the string vocab never crosses to
+    Python per row). Vocab must be bounded (callers gate on
+    DENSE_MAX_VOCAB before the distinct-terms collect)."""
     spark = g.sparkSession
     terms = [
         r["term"]
         for r in g.select("term").distinct().orderBy("term").collect()
     ]
-    tid = {t: i for i, t in enumerate(terms)}
-    # map term → tid JVM-side via a broadcast dimension; the packed int rows
-    # are the ONE aggregation reused by the driver-side matrix build AND the
-    # streamed mapInPandas side (no second string-carrying pass)
     tid_df = spark.createDataFrame(
-        [(t, i) for t, i in tid.items()], "term string, tid int"
+        [(t, i) for i, t in enumerate(terms)], "term string, tid int"
     )
-    packed = (
+    return (
         g.join(F.broadcast(tid_df), "term")
         .groupBy("doc_id")
-        .agg(F.collect_list("tid").alias("ts"))
-        .localCheckpoint(eager=True)
+        .agg(F.sort_array(F.collect_list("tid")).alias("ts"))
     )
+
+
+def _jaccard_dense_packed(packed: DataFrame, threshold: float) -> DataFrame:
+    """Dense incidence-matmul core over pre-packed (doc_id, ts) rows; the
+    ONE materialized table feeds the driver-side matrix build AND the
+    streamed mapInPandas side."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = packed.sparkSession
     rows = packed.collect()
+    n_terms = max((max(r["ts"]) + 1 for r in rows if r["ts"]), default=0)
     ids = np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
     pos = {d: i for i, d in enumerate(ids)}
-    mat = np.zeros((len(ids), len(terms)), dtype=np.uint8)
+    mat = np.zeros((len(ids), n_terms), dtype=np.uint8)
     for r in rows:
         mat[pos[r["doc_id"]], np.asarray(r["ts"], dtype=np.int64)] = 1
     sizes = mat.sum(axis=1, dtype=np.int64)
@@ -143,19 +155,93 @@ def _jaccard_dense(
 
 DENSE_MAX_VOCAB = 2048
 DENSE_MAX_DOCS = 50_000
+DENSE_MAX_SETS = 50_000
 
 
-def _dense_eligible(g: DataFrame) -> bool:
-    """True when the distinct-gram table is small on BOTH axes: the dense
-    incidence path is vocab-bounded (matrix width) AND doc-bounded (driver
-    collect + matrix height). A huge corpus with a tiny gram vocabulary —
-    exactly the hot-gram case — must take the join/LSH path, not a silent
-    full-corpus collect (ADVICE r01)."""
+def _gram_stats(g: DataFrame) -> tuple[int, int]:
+    """(n_distinct_terms, n_docs) of the distinct-gram table — one pass,
+    drives the dense/set/join routing. The dense incidence path is
+    vocab-bounded (matrix width) AND doc-bounded (driver collect + matrix
+    height); a huge corpus with a tiny gram vocabulary takes the
+    distinct-set reduction, never a silent full-corpus collect (ADVICE
+    r01)."""
     stats = g.agg(
         F.countDistinct("term").alias("v"),
         F.countDistinct("doc_id").alias("d"),
     ).first()
-    return stats["v"] <= DENSE_MAX_VOCAB and stats["d"] <= DENSE_MAX_DOCS
+    return int(stats["v"]), int(stats["d"])
+
+
+def _jaccard_distinct_sets(g: DataFrame, threshold: float) -> DataFrame:
+    """Tiny-vocab, huge-corpus route (vocab ≤ DENSE_MAX_VOCAB but docs >
+    DENSE_MAX_DOCS): over ≤ 2048 grams many documents share IDENTICAL gram
+    sets, so group docs by gram set first, run the dense incidence matmul
+    over DISTINCT sets only, and expand pairs back through membership —
+    EXACT, with the matmul and driver collect bounded by the number of
+    distinct sets (≤ DENSE_MAX_SETS, else refuse with guidance: neither
+    the gram join nor banded MinHash is finite-shaped on this input, every
+    signature collides).
+
+    Intra-set pairs have Jaccard exactly 1 (emitted at 1000 milli); the
+    pair expansion is output-bound (those pairs ARE the answer), with an
+    explicit repartition so AQE's input-size coalescing doesn't squeeze the
+    member explosion onto few tasks."""
+    spark = g.sparkSession
+    packed = _packed_tids(g)
+    sets = (
+        packed.groupBy("ts")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("members"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_sets = sets.count()
+    if n_sets > DENSE_MAX_SETS:
+        raise ValueError(
+            f"{n_sets} distinct gram sets over a tiny vocabulary exceed "
+            f"DENSE_MAX_SETS={DENSE_MAX_SETS}; no finite-shaped exact plan "
+            "exists here (banded MinHash collides on tiny vocabularies) — "
+            "use ngram_jaccard_pairs(max_df=...) for an approximate join, "
+            "or raise dedup.DENSE_MAX_SETS if the set matrix fits memory"
+        )
+    rep_pairs = _jaccard_dense_packed(
+        sets.select(F.col("rep").alias("doc_id"), "ts")
+        .localCheckpoint(eager=True),
+        threshold,
+    )
+    n_part = spark.sparkContext.defaultParallelism * 4
+    m_from = sets.select(
+        F.col("rep").alias("from_id"), F.explode("members").alias("x")
+    )
+    m_to = sets.select(
+        F.col("rep").alias("to_id"), F.explode("members").alias("y")
+    )
+    cross = (
+        rep_pairs.repartition(n_part, "from_id")
+        .join(m_from, "from_id")
+        .join(m_to, "to_id")
+        .select(
+            F.least("x", "y").alias("from_id"),
+            F.greatest("x", "y").alias("to_id"),
+            "jaccard_milli",
+        )
+    )
+    min_milli = int(round(threshold * 1000))
+    a = sets.select(F.col("rep").alias("r"), F.explode("members").alias("x"))
+    b = sets.select(F.col("rep").alias("r2"), F.explode("members").alias("y"))
+    intra = (
+        a.repartition(n_part, "r")
+        .join(b, (F.col("r") == F.col("r2")) & (F.col("x") < F.col("y")))
+        .select(
+            F.col("x").alias("from_id"),
+            F.col("y").alias("to_id"),
+            F.lit(1000).cast("bigint").alias("jaccard_milli"),
+        )
+    )
+    if min_milli > 1000:  # degenerate threshold > 1: nothing qualifies
+        return cross.where(F.lit(False))
+    return cross.unionByName(intra)
 
 
 def ngram_jaccard_pairs(
@@ -173,14 +259,18 @@ def ngram_jaccard_pairs(
     JOIN only — that makes inter counts approximate, so it stays None for
     oracle-checked runs and is a scale knob for corpus runs.
 
-    Adaptive: when the distinct-gram vocabulary is ≤ DENSE_MAX_VOCAB AND
-    the corpus is ≤ DENSE_MAX_DOCS the gram join degenerates (hot grams ⇒
-    quadratic fan-out on few shuffle keys) and the exact dense
-    incidence-matmul path is used instead — identical output. Over either
-    bound the join path runs (use ``max_df`` there to tame hot grams)."""
+    Adaptive routing on (|vocab|, n_docs): tiny vocab + bounded corpus →
+    dense incidence matmul (the gram join degenerates: hot grams ⇒
+    quadratic fan-out on few shuffle keys); tiny vocab + huge corpus →
+    distinct-gram-set reduction (exact, matmul over distinct sets only);
+    large vocab → the gram join (use ``max_df`` to tame hot grams). All
+    routes produce identical rows where they are exact."""
     g = _distinct_grams(docs, key_col, n)
-    if _dense_eligible(g):
-        return _jaccard_dense(g, threshold)
+    v, d = _gram_stats(g)
+    if v <= DENSE_MAX_VOCAB:
+        if d <= DENSE_MAX_DOCS:
+            return _jaccard_dense(g, threshold)
+        return _jaccard_distinct_sets(g, threshold)
     if max_df:
         hot = g.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
             F.col("df") > max_df
@@ -216,27 +306,37 @@ def minhash_near_dups(
     threshold: float = 0.8,
     num_hashes: int = 128,
     bands: int = 32,
+    max_bucket_size: int | None = 20_000,
 ) -> DataFrame:
     """LSH-candidate near-dup pairs VERIFIED by exact Jaccard ≥ threshold.
 
     Banding at r=4 with 32 bands makes the miss probability at j=0.8 about
     (1-0.8^4)^32 ≈ 5e-8 — LSH bounds the pairwise work; the exact verify
     keeps precision at 1 (and recall within that epsilon).
+    ``max_bucket_size`` drops pathologically hot band buckets before the
+    join (bucket² join fan-out guard at corpus scale; buckets that hot on a
+    LARGE vocabulary mean near-identical shingle sets, whose pairs almost
+    surely still co-occur in a colder band). None disables the cap and
+    restores the pure 5e-8 contract.
 
     Adaptive: a ≤ DENSE_MAX_VOCAB vocabulary makes MinHash useless (every
-    signature collides) AND makes exact all-pairs Jaccard one dense matmul
-    — so the dense path answers exactly (miss probability 0, a strict
-    superset of the LSH contract) WHEN the corpus also fits the dense
-    budget (≤ DENSE_MAX_DOCS); a big corpus on a tiny vocabulary stays on
-    the LSH path rather than silently collecting the corpus (ADVICE r01)."""
+    signature collides — a banded join there fans out toward n² and an
+    uncapped bucket never finishes), so tiny-vocab corpora take the exact
+    dense routes instead (miss probability 0, a strict superset of the LSH
+    contract): the incidence matmul when the corpus fits the dense budget,
+    the distinct-gram-set reduction when it doesn't. Only large-vocab
+    corpora run banded LSH + exact verify."""
     g0 = _distinct_grams(docs, key_col, n)
-    if _dense_eligible(g0):
-        return _jaccard_dense(g0, threshold)
+    v, d = _gram_stats(g0)
+    if v <= DENSE_MAX_VOCAB:
+        if d <= DENSE_MAX_DOCS:
+            return _jaccard_dense(g0, threshold)
+        return _jaccard_distinct_sets(g0, threshold)
     cfg = TfidfConfig(n_gram_range=(n, n), clean_string=False,
                       remove_space_ngrams=False)
     cands = minhash_candidates(
         docs, None, key_col, cfg, num_hashes=num_hashes, bands=bands,
-        max_bucket_size=None,
+        max_bucket_size=max_bucket_size,
     ).where(F.col("from_id") < F.col("to_id"))
     g = g0  # the eligibility-checked gram table IS the verify input
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))

@@ -125,23 +125,25 @@ def tfidf_dense_topk(
     are (doc_id, term, weight) L2-normalized sparse vectors
     (operators/tfidf.vectorize output)."""
     spark = from_vec.sparkSession
-    # vocab is broadcast-bounded by the same gate that bounds the matrix, so
-    # the term numbering is a driver-side sorted enumeration (a global
-    # row_number window here would funnel every term through one partition)
-    terms = sorted(
-        r["term"]
-        for r in to_vec.select("term").union(from_vec.select("term"))
-        .distinct().collect()
+    # gate FIRST with count jobs — the vocab collect below must never run
+    # on an over-budget input (collect-then-check would OOM the driver
+    # before the check)
+    all_terms = (
+        to_vec.select("term").union(from_vec.select("term")).distinct()
     )
-    dim = len(terms)
+    dim = all_terms.count()
     n_to = to_vec.select("doc_id").distinct().count()
-    if not fits_broadcast(n_to, dim):
+    if not fits_broadcast(n_to, dim) or not fits_broadcast(dim, 1):
         raise ValueError(
             f"to-side ({n_to} docs x {dim} terms) exceeds the dense "
             "broadcast budget; use the blocked path "
             "(operators.adaptive.tfidf_selfmatch_topk / blocking + "
             "score_candidates_packed)"
         )
+    # vocab is now budget-bounded → driver-side sorted enumeration (a
+    # global row_number window here would funnel every term through one
+    # partition)
+    terms = sorted(r["term"] for r in all_terms.collect())
     term_ids = spark.createDataFrame(
         [(t, i) for i, t in enumerate(terms)], "term string, tid int"
     )

@@ -128,10 +128,21 @@ def ivf_cosine_topk(
     broadcast (n_cells × dim) centroid matrix; the only shuffle is the
     (cell) equi-join whose fan-out is ≈ n_probe · n/n_cells per query."""
     spark = queries.sparkSession
-    q = _norm_vec(queries, "query_id", "q_vec", id_col, vec_col)
+    # the normalized corpus feeds training, assignment AND scoring —
+    # materialize once; self-match reuses it for the query side too (no
+    # second normalization pass), otherwise the query side is checkpointed
+    # itself because it feeds both cell probing and final re-scoring
     c = _norm_vec(corpus, "neighbor_id", "c_vec", id_col, vec_col)
-    # the normalized corpus feeds training, assignment AND scoring
     c = c.localCheckpoint(eager=True)
+    if queries is corpus:
+        q = c.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("c_vec").alias("q_vec"),
+        )
+    else:
+        q = _norm_vec(
+            queries, "query_id", "q_vec", id_col, vec_col
+        ).localCheckpoint(eager=True)
 
     sample = (
         c.select("c_vec", F.xxhash64(F.col("neighbor_id").cast("string")).alias("h"))
@@ -224,8 +235,20 @@ def lsh_cosine_topk(
     are drawn from LSH-bucket candidates (union over n_tables independent
     sign-bit tables), exactly re-scored. Recall < 1 by design — evaluated,
     not oracle-matched."""
-    q = _norm_vec(queries, "query_id", "q_vec", id_col, vec_col)
-    c = _norm_vec(corpus, "neighbor_id", "c_vec", id_col, vec_col)
+    # each normalized side feeds bucket generation AND final re-scoring —
+    # materialize once per side (self-match reuses the corpus side)
+    c = _norm_vec(
+        corpus, "neighbor_id", "c_vec", id_col, vec_col
+    ).localCheckpoint(eager=True)
+    if queries is corpus:
+        q = c.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("c_vec").alias("q_vec"),
+        )
+    else:
+        q = _norm_vec(
+            queries, "query_id", "q_vec", id_col, vec_col
+        ).localCheckpoint(eager=True)
     # sign-bit buckets for ALL tables in one numpy matmul per Arrow batch
     # (V @ P.T > 0, bits packed per table) — replaces n_tables × n_planes
     # chained JVM array-aggregates per row; one equi-join on (table, bucket)

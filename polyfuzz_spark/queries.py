@@ -741,26 +741,12 @@ SESSION_GAP_S = 1800
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (> 30 min of silence starts a new session)
-    via lag + running sum — the batch twin of a session window."""
-    e = _events(spark, sf_dir).select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
-    )
-    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    flagged = e.withColumn(
-        "new_s",
-        F.when(
-            F.col("sec") - F.lag("sec").over(w) > SESSION_GAP_S, 1
-        ).otherwise(0),
-    ).withColumn(
-        "session_idx",
-        F.sum("new_s").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return flagged.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.min("sec").alias("start_sec"),
-        F.max("sec").alias("end_sec"),
+    via lag + running sum — the batch twin of the stateful streaming
+    sessionizer; ONE shared definition (streaming/sessions.py)."""
+    from .streaming.sessions import sessionize_batch
+
+    return sessionize_batch(
+        _events(spark, sf_dir), SESSION_GAP_S, include_idx=True
     )
 
 

@@ -11,6 +11,12 @@ open when a finite ``availableNow`` drain ends stay in state (exactly the
 late-data semantics of the windowed rollup in ``streaming/windows.py``);
 the tests compare emitted rows bit-for-bit against the batch twin.
 
+Out-of-order (late-but-within-watermark) events are merged, not assumed
+sorted: an event inside the open session's span counts toward it, one
+within ``gap_s`` before its start extends it backward, and one older than
+that is emitted as its own singleton session (aggregate state cannot
+reconstruct its true neighbors — exact whenever it had none).
+
 This is the engine's UDAF-with-state surface (task brief:
 ``applyInPandasWithState`` for custom stateful operators); everything else
 in the streaming package is stateless.
@@ -57,13 +63,32 @@ def _session_fn(gap_s: int):
             return
         closed = []
         for s in secs:
-            if last is not None and s - last > gap_s:
-                closed.append((start, last, n))
-                start, n = None, 0
-            if start is None:
+            if last is None:
+                start = last = s
+                n = 1
+            elif s > last:
+                if s - last > gap_s:
+                    closed.append((start, last, n))
+                    start = s
+                    n = 0
+                last = s
+                n += 1
+            elif s >= start:
+                # late event INSIDE the open session (within watermark):
+                # counts toward it, bounds unchanged
+                n += 1
+            elif start - s <= gap_s:
+                # late event shortly BEFORE the open session: extends it
+                # backward (the batch twin would merge them)
                 start = s
-            last = s
-            n += 1
+                n += 1
+            else:
+                # older than the open session by more than the gap — a
+                # definitively separate, already-over session. With only
+                # aggregate state its own neighbors are gone, so it is
+                # emitted as a singleton (exact when it had no neighbors;
+                # the best reconstruction aggregate state allows otherwise)
+                closed.append((s, s, 1))
         # close-by-watermark without waiting for the timeout callback when
         # the watermark has already passed (a timeout set in the past is an
         # error); otherwise arm the event-time timeout at last + gap
@@ -106,10 +131,13 @@ def sessionize(events: DataFrame, gap_s: int = 1800,
     )
 
 
-def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
-    """Batch twin with identical output columns (lag + running-sum gap
-    split, one per-user window) — ALL sessions, including ones a stream
-    would still hold open."""
+def sessionize_batch(events: DataFrame, gap_s: int = 1800,
+                     include_idx: bool = False) -> DataFrame:
+    """Batch twin (lag + running-sum gap split, one per-user window) — ALL
+    sessions, including ones a stream would still hold open. This is the
+    single definition of batch gap-sessionization: ``queries.
+    q_user_sessions`` (oracle-checked) delegates here with
+    ``include_idx=True``."""
     from pyspark.sql import Window
 
     e = events.select(
@@ -125,11 +153,16 @@ def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    return flagged.groupBy("user_id", "session_idx").agg(
+    agg = flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.min("sec").alias("start_sec"),
         F.max("sec").alias("end_sec"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    ).select("user_id", "start_sec", "end_sec", "n_events")
+    )
+    if include_idx:
+        return agg.select(
+            "user_id", "session_idx", "n_events", "start_sec", "end_sec"
+        )
+    return agg.select("user_id", "start_sec", "end_sec", "n_events")
 
 
 def stream_sessions_parquet(

@@ -35,8 +35,19 @@ def con():
 
 
 def test_jaccard_join_path_matches_oracle(spark, con, monkeypatch):
-    """DENSE_MAX_DOCS=0 forces the term-join path — exact, so the oracle
+    """DENSE_MAX_VOCAB=0 forces the term-join path — exact, so the oracle
     must stay green (the switch fires AND the fallback is correct)."""
+    monkeypatch.setattr(dedup, "DENSE_MAX_VOCAB", 0)
+    got = QUERIES["ngram_jaccard_dups"](spark, SF)
+    exp = con.execute(ORACLE_JACCARD).df()
+    ok, msg = compare(got, exp)
+    assert ok, msg
+
+
+def test_jaccard_distinct_set_route_matches_oracle(spark, con, monkeypatch):
+    """DENSE_MAX_DOCS=0 with a tiny vocab forces the distinct-gram-set
+    reduction (group identical sets → dense over distinct sets → expand
+    members) — exact, oracle must stay green."""
     monkeypatch.setattr(dedup, "DENSE_MAX_DOCS", 0)
     got = QUERIES["ngram_jaccard_dups"](spark, SF)
     exp = con.execute(ORACLE_JACCARD).df()
@@ -45,14 +56,34 @@ def test_jaccard_join_path_matches_oracle(spark, con, monkeypatch):
 
 
 def test_minhash_lsh_path_matches_oracle(spark, con, monkeypatch):
-    """DENSE_MAX_DOCS=0 forces banded-LSH candidates + exact verify; at
+    """DENSE_MAX_VOCAB=0 forces banded-LSH candidates + exact verify; at
     j >= 0.8 with 32 bands x 4 rows the miss probability is ~5e-8, so the
     exact oracle must match."""
+    monkeypatch.setattr(dedup, "DENSE_MAX_VOCAB", 0)
+    got = QUERIES["minhash_near_dups"](spark, SF)
+    exp = con.execute(ORACLE_MINHASH).df()
+    ok, msg = compare(got, exp)
+    assert ok, msg
+
+
+def test_minhash_distinct_set_route_matches_oracle(spark, con, monkeypatch):
+    """Tiny vocab + over-budget corpus must take the exact distinct-set
+    route (never an uncapped all-collide banded join)."""
     monkeypatch.setattr(dedup, "DENSE_MAX_DOCS", 0)
     got = QUERIES["minhash_near_dups"](spark, SF)
     exp = con.execute(ORACLE_MINHASH).df()
     ok, msg = compare(got, exp)
     assert ok, msg
+
+
+def test_distinct_set_route_refuses_unbounded_sets(spark, monkeypatch):
+    monkeypatch.setattr(dedup, "DENSE_MAX_DOCS", 0)
+    monkeypatch.setattr(dedup, "DENSE_MAX_SETS", 1)
+    docs = spark.createDataFrame(
+        [(i, f"abc{i % 7}xyz") for i in range(30)], "doc_id long, key string"
+    )
+    with pytest.raises(ValueError, match="DENSE_MAX_SETS"):
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5).count()
 
 
 def test_tfidf_blocked_path_fires_and_scores_exact(spark, con, monkeypatch):

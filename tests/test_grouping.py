@@ -61,6 +61,15 @@ def test_group_accepts_string_grouper(spark, from_list, to_list):
         )
 
 
+def test_group_embeddings_string_requires_encoder(spark, from_list, to_list):
+    """Bare strings carry no embedding column and the engine has no
+    string-encode step — the 'Embeddings' grouper must fail the contract
+    clearly, not deep in the plan with an unresolved column."""
+    m = PolyFuzzSpark("TF-IDF", spark).match(from_list, to_list)
+    with pytest.raises(ValueError, match="encode"):
+        m.group(model="Embeddings")
+
+
 def test_grouper_same_list(spark, from_list):
     model = PolyFuzzSpark("TF-IDF", spark).match(from_list, from_list)
     model.group(link_min_similarity=0.75, group_all_strings=True)

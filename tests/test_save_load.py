@@ -54,7 +54,8 @@ def test_save_load_roundtrips_every_matcher_config(spark, tmp_path):
             EmbeddingMatcher(min_similarity=0.75, top_n=5,
                              model_id="emb"),
             RapidFuzzMatcher(score_cutoff=0.3, scorer="token_sort_ratio",
-                             top_n=2, model_id="rf"),
+                             top_n=2, model_id="rf", use_blocking=False,
+                             blocking_conf={"bands": 8}),
         ],
         spark,
     )
@@ -72,6 +73,10 @@ def test_save_load_roundtrips_every_matcher_config(spark, tmp_path):
     rf = loaded._matchers["rf"]
     assert rf.score_cutoff == 0.3 and rf.scorer == "token_sort_ratio"
     assert rf.top_n == 2
+    # a FORCED-exact matcher must not reload as size-adaptive (None) —
+    # that would silently switch transform() to blocked candidates
+    assert rf.use_blocking is False
+    assert rf.blocking_conf == {"bands": 8}
 
 
 def test_save_refuses_unroundtrippable_custom_matcher(spark, tmp_path):

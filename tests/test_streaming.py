@@ -184,6 +184,57 @@ def test_stateful_sessionization_stream_vs_batch(spark, tmp_path):
         assert len(nf_merged) == len(non_final)
 
 
+def test_stateful_sessionization_out_of_order_late_events(spark, tmp_path):
+    """A late-but-within-watermark event arriving in a later micro-batch
+    must MERGE into the open session (inside its span or within the gap
+    before its start), never regress `last`/split the session — the batch
+    twin on the same data is the contract."""
+    import datetime as dt
+
+    from polyfuzz_spark.streaming.sessions import (
+        sessionize_batch,
+        stream_sessions_parquet,
+    )
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ev(eid, sec):
+        return (base + dt.timedelta(seconds=sec), 1, eid)
+
+    schema = "ts timestamp, user_id long, event_id long"
+    # batch 1: secs 0 and 1000 (gap 1000 > 600 → closes [0,0], opens
+    # [1000,1000]); batch 2: late 900 (extends the open session backward)
+    # then 1550 (within gap of 1000 → same session)
+    f1 = spark.createDataFrame([ev(1, 0), ev(2, 1000)], schema)
+    f2 = spark.createDataFrame([ev(3, 900), ev(4, 1550)], schema)
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    f1.coalesce(1).write.parquet(in_dir)
+    f2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = stream_sessions_parquet(
+        spark, in_dir, schema, out_dir, ck_dir,
+        gap_s=600, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    batch = sessionize_batch(
+        spark.createDataFrame([ev(1, 0), ev(2, 1000), ev(3, 900),
+                               ev(4, 1550)], schema),
+        gap_s=600,
+    ).toPandas()
+    cols = ["user_id", "start_sec", "end_sec", "n_events"]
+    # everything emitted matches the batch twin verbatim; the singleton
+    # [0,0] is closed by the later events, the merged [900,1550] session
+    # (3 events incl. the out-of-order 900) stays open in state
+    merged = got.merge(batch, on=cols)
+    assert len(merged) == len(got) == 1
+    assert got.iloc[0].n_events == 1 and got.iloc[0].end_sec == got.iloc[0].start_sec
+    assert set(map(tuple, batch[cols].values)) >= set(map(tuple, got[cols].values))
+
+
 def test_stream_resume_is_exactly_once(spark, fitted, tmp_path):
     """Re-running with the same checkpoint must not duplicate output rows."""
     _, _, index = fitted
