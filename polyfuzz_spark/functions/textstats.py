@@ -42,6 +42,26 @@ def token_count_sql(expr: str) -> str:
     )
 
 
+# BPE-ish pre-tokenizer shape (GPT-2-style: letter runs, digit runs, and
+# individual non-alphanumeric marks each count as one token); the pattern is
+# valid in BOTH Java regex (Spark) and RE2 (DuckDB) so the oracle is exact
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-style token count via the BPE-ish pre-tokenizer regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '{BPE_TOKEN_RE}')) AS BIGINT)"
+    )
+
+
 def alpha_ratio_milli(col: Column | str) -> Column:
     """⌊1000·(alphabetic chars / chars)⌋ — integer for oracle-stable hashing."""
     c = F.col(col) if isinstance(col, str) else col

@@ -344,6 +344,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         TS.token_count("text").alias("n_tokens"),
+        TS.bpe_token_count("text").alias("n_bpe_tokens"),
         TS.alpha_ratio_milli("text").alias("alpha_milli"),
         TS.quality_score_milli("text").alias("quality_milli"),
         TS.lang_id("text").alias("lang_pred"),
@@ -355,6 +356,7 @@ def _oracle_doc_stats() -> str:
     return f"""
 SELECT doc_id,
        CAST({TS.token_count_sql('text')} AS BIGINT) AS n_tokens,
+       {TS.bpe_token_count_sql('text')} AS n_bpe_tokens,
        {TS.alpha_ratio_milli_sql('text')} AS alpha_milli,
        CAST({TS.quality_score_milli_sql('text')} AS BIGINT) AS quality_milli,
        {TS.lang_id_sql('text')} AS lang_pred,
