@@ -53,7 +53,7 @@ def _distinct_grams(docs: DataFrame, key_col: str, n: int,
 
 
 def _jaccard_dense(
-    g: DataFrame, threshold: float
+    g: DataFrame, threshold: float, terms: list[str]
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via a broadcast binary incidence
     matrix: |A∩B| for every pair is ONE matmul (n_docs × |vocab| by its
@@ -71,20 +71,30 @@ def _jaccard_dense(
     collect and the broadcast (uint8 incidence: n_docs × vocab bytes) are
     budget-capped, never corpus-unbounded.
     """
-    packed = _packed_tids(g).localCheckpoint(eager=True)
+    packed = _packed_tids(g, terms).localCheckpoint(eager=True)
     return _jaccard_dense_packed(packed, threshold)
 
 
-def _packed_tids(g: DataFrame) -> DataFrame:
+def _vocab_if_small(g: DataFrame) -> list[str] | None:
+    """Sorted distinct terms when |vocab| ≤ DENSE_MAX_VOCAB, else None.
+
+    The collect is BOUNDED by construction (limit MAX+1 before it), and the
+    returned list doubles as the tid map — one pass over the gram table
+    serves both the routing gate and the dense packing, instead of a stats
+    aggregation plus a second distinct-terms pass."""
+    sample = (
+        g.select("term").distinct().limit(DENSE_MAX_VOCAB + 1).collect()
+    )
+    if len(sample) > DENSE_MAX_VOCAB:
+        return None
+    return sorted(r["term"] for r in sample)
+
+
+def _packed_tids(g: DataFrame, terms: list[str]) -> DataFrame:
     """(doc_id, ts: array<int> sorted dense gram ids) — term → id mapped
     JVM-side via a broadcast dimension (the string vocab never crosses to
-    Python per row). Vocab must be bounded (callers gate on
-    DENSE_MAX_VOCAB before the distinct-terms collect)."""
+    Python per row). ``terms`` comes from ``_vocab_if_small`` (bounded)."""
     spark = g.sparkSession
-    terms = [
-        r["term"]
-        for r in g.select("term").distinct().orderBy("term").collect()
-    ]
     tid_df = spark.createDataFrame(
         [(t, i) for i, t in enumerate(terms)], "term string, tid int"
     )
@@ -158,21 +168,8 @@ DENSE_MAX_DOCS = 50_000
 DENSE_MAX_SETS = 50_000
 
 
-def _gram_stats(g: DataFrame) -> tuple[int, int]:
-    """(n_distinct_terms, n_docs) of the distinct-gram table — one pass,
-    drives the dense/set/join routing. The dense incidence path is
-    vocab-bounded (matrix width) AND doc-bounded (driver collect + matrix
-    height); a huge corpus with a tiny gram vocabulary takes the
-    distinct-set reduction, never a silent full-corpus collect (ADVICE
-    r01)."""
-    stats = g.agg(
-        F.countDistinct("term").alias("v"),
-        F.countDistinct("doc_id").alias("d"),
-    ).first()
-    return int(stats["v"]), int(stats["d"])
-
-
-def _jaccard_distinct_sets(g: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_distinct_sets(g: DataFrame, threshold: float,
+                           terms: list[str]) -> DataFrame:
     """Tiny-vocab, huge-corpus route (vocab ≤ DENSE_MAX_VOCAB but docs >
     DENSE_MAX_DOCS): over ≤ 2048 grams many documents share IDENTICAL gram
     sets, so group docs by gram set first, run the dense incidence matmul
@@ -187,7 +184,7 @@ def _jaccard_distinct_sets(g: DataFrame, threshold: float) -> DataFrame:
     explicit repartition so AQE's input-size coalescing doesn't squeeze the
     member explosion onto few tasks."""
     spark = g.sparkSession
-    packed = _packed_tids(g)
+    packed = _packed_tids(g, terms)
     sets = (
         packed.groupBy("ts")
         .agg(
@@ -266,11 +263,13 @@ def ngram_jaccard_pairs(
     large vocab → the gram join (use ``max_df`` to tame hot grams). All
     routes produce identical rows where they are exact."""
     g = _distinct_grams(docs, key_col, n)
-    v, d = _gram_stats(g)
-    if v <= DENSE_MAX_VOCAB:
-        if d <= DENSE_MAX_DOCS:
-            return _jaccard_dense(g, threshold)
-        return _jaccard_distinct_sets(g, threshold)
+    terms = _vocab_if_small(g)
+    if terms is not None:
+        # doc gate from the raw table count (no gram explode) — counting
+        # gramless docs too only makes the gate more conservative
+        if docs.count() <= DENSE_MAX_DOCS:
+            return _jaccard_dense(g, threshold, terms)
+        return _jaccard_distinct_sets(g, threshold, terms)
     if max_df:
         hot = g.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
             F.col("df") > max_df
@@ -327,11 +326,11 @@ def minhash_near_dups(
     the distinct-gram-set reduction when it doesn't. Only large-vocab
     corpora run banded LSH + exact verify."""
     g0 = _distinct_grams(docs, key_col, n)
-    v, d = _gram_stats(g0)
-    if v <= DENSE_MAX_VOCAB:
-        if d <= DENSE_MAX_DOCS:
-            return _jaccard_dense(g0, threshold)
-        return _jaccard_distinct_sets(g0, threshold)
+    terms = _vocab_if_small(g0)
+    if terms is not None:
+        if docs.count() <= DENSE_MAX_DOCS:
+            return _jaccard_dense(g0, threshold, terms)
+        return _jaccard_distinct_sets(g0, threshold, terms)
     cfg = TfidfConfig(n_gram_range=(n, n), clean_string=False,
                       remove_space_ngrams=False)
     cands = minhash_candidates(
