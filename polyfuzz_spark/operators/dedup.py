@@ -366,20 +366,46 @@ def minhash_near_dups(
 
 
 def simhash_signatures(
-    docs: DataFrame, key_col: str = "key", n: int = 3, bits: int = 64
+    docs: DataFrame, key_col: str = "key", n: int = 3, bits: int = 64,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, simhash: bigint) — 64-bit SimHash over n-gram terms.
 
-    bit_i = sign of Σ_terms (xxhash64(term) bit_i ? +1 : -1); built from 64
-    conditional sums in ONE groupBy (map-side combined)."""
-    g = _distinct_grams(docs, key_col, n).withColumn(
-        "h", F.xxhash64("term")
-    )
+    bit_i = sign of Σ_terms (hash(term) bit_i ? +1 : -1); built from 64
+    conditional sums in ONE groupBy (map-side combined).
+
+    ``hash_fn``: ``"md5"`` (default) derives the 64 term-hash bits from the
+    first 16 hex chars of md5 — an algorithm DuckDB computes identically, so
+    the whole operator has an EXACT SQL oracle twin. ``"xxhash64"`` is the
+    cheaper scale knob (one non-cryptographic JVM hash per gram instead of
+    md5 + hex parse) with identical semantics but no engine-independent
+    oracle. Both are entirely JVM-side codegen expressions."""
+    g = _distinct_grams(docs, key_col, n)
+    if hash_fn == "md5":
+        # h1 = first 8 hex chars (bits 32..63), h2 = next 8 (bits 0..31):
+        # two uint32-range longs, parity-checked against DuckDB's
+        # ('0x'||substr(md5(t),...))::BIGINT
+        hexc = F.md5("term")
+        g = g.withColumn(
+            "h1", F.conv(F.substring(hexc, 1, 8), 16, 10).cast("long")
+        ).withColumn(
+            "h2", F.conv(F.substring(hexc, 9, 8), 16, 10).cast("long")
+        )
+
+        def _bit(i: int):
+            src = F.col("h1") if i >= 32 else F.col("h2")
+            return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
+
+    elif hash_fn == "xxhash64":
+        g = g.withColumn("h", F.xxhash64("term"))
+
+        def _bit(i: int):
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{i}")
+        F.sum(F.when(_bit(i) == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
         for i in range(bits)
     ]
     votes = g.groupBy("doc_id").agg(*aggs)
@@ -395,17 +421,21 @@ def simhash_signatures(
 
 def simhash_near_dups(
     docs: DataFrame, key_col: str = "key", n: int = 3,
-    max_hamming: int = 6, band_bits: int = 16,
+    max_hamming: int = 6, band_bits: int = 16, hash_fn: str = "md5",
 ) -> DataFrame:
     """(from_id, to_id, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
     Candidates via 4 exact-match bands of 16 bits (any pair within Hamming 3
     shares a band; at max_hamming 6 this is a high-recall heuristic, the
-    standard SimHash table trick), verified with bit_count(xor)."""
+    standard SimHash table trick), verified with bit_count(xor).
+    ``hash_fn`` as in ``simhash_signatures`` (md5 default = exact DuckDB
+    oracle twin; xxhash64 = cheaper per-gram hash at scale)."""
     # one projection + posexplode (not a union of per-band selects, which
     # would re-run the 64-vote signature aggregation once per band); the
     # checkpoint materializes signatures once for both join sides
-    sig = simhash_signatures(docs, key_col, n).localCheckpoint(eager=True)
+    sig = simhash_signatures(docs, key_col, n, hash_fn=hash_fn).localCheckpoint(
+        eager=True
+    )
     nbands = 64 // band_bits
     band_arr = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), b * band_bits)

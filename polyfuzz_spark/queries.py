@@ -7,7 +7,7 @@ quantized to integer milli-units with the SAME formula on both sides
 score plus an id tie-break, so cross-engine ulp differences cannot flip
 hashes or orderings (documented risk only within ~1e-12 of a boundary).
 
-Approximate operators (LSH ANN, SimHash) return rows-only checks by design;
+Approximate operators (LSH ANN, IVF ANN) return rows-only checks by design;
 their exact counterparts (brute-force cosine, exact Jaccard) ARE oracle
 checked, and the minhash near-dup query verifies candidates exactly so its
 oracle holds with miss probability ≈ 5e-8 at j=0.8 (32 bands × 4 rows).
@@ -332,8 +332,68 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dups
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
-    return simhash_near_dups(docs, max_hamming=3)  # rows-only check (xxhash64
-    # has no DuckDB twin)
+    # md5-backed term hash (the default): DuckDB computes identical md5
+    # bits, so this query is EXACT-oracle-checked end to end
+    return simhash_near_dups(docs, max_hamming=3).select(
+        "from_id", "to_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """Generated SQL twin of ``simhash_near_dups``: same grams, same md5
+    bit extraction (h1 = hex[0:8] → bits 32..63, h2 = hex[8:16] → bits
+    0..31), same 64 ±1 votes, same 4×16-bit band candidates, same
+    bit_count(xor) verify — the signature is kept as two 32-bit halves so
+    no DuckDB expression ever overflows a signed BIGINT."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ((h{'1' if i >= 32 else '2'} >> {i % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i - 32})"
+        for i in range(32, 64)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, length(text) - 2), i -> substring(text, i, 3)))) AS term
+  FROM documents WHERE length(text) >= 3
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(term), 9, 8))::BIGINT AS h2
+  FROM g
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {lo} AS lo, {hi} AS hi FROM votes),
+bands AS (
+  SELECT doc_id, lo, hi,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([lo & 65535, (lo >> 16) & 65535,
+                 hi & 65535, (hi >> 16) & 65535]) AS band_key
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS from_id, b.doc_id AS to_id,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER)
+         AS hamming
+FROM bands a
+JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle(3)
 
 
 # --------------------------------------------------------------------------
@@ -815,7 +875,8 @@ def all_oracles():
         "exact_dedup_prefix": ORACLE_EXACT_DEDUP,
         "ngram_jaccard_dups": ORACLE_JACCARD,
         "minhash_near_dups": ORACLE_MINHASH,
-        # simhash_near_dups / embedding_knn_lsh: approximate → rows-only
+        "simhash_near_dups": ORACLE_SIMHASH,
+        # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only
         "doc_stats": _oracle_doc_stats(),
         "docs_by_lang_source": _oracle_docs_by_lang_source(),
         "embedding_cosine_top3": ORACLE_EMB_TOP3,

@@ -23,10 +23,11 @@ def con():
 
 def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
-    # approximate/composite ops are deliberately rows-only
+    # approximate/composite ops are deliberately rows-only (simhash gained
+    # an exact oracle once its term hash moved to md5 — DuckDB's md5 is
+    # bit-identical)
     assert set(QUERIES) - set(ORACLES) == {
-        "simhash_near_dups", "embedding_knn_lsh", "embedding_knn_ivf",
-        "wratio_top1",
+        "embedding_knn_lsh", "embedding_knn_ivf", "wratio_top1",
     }
 
 
