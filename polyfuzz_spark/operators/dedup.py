@@ -45,8 +45,12 @@ def exact_dup_groups(
 
 def _distinct_grams(docs: DataFrame, key_col: str, n: int,
                     id_col: str = "doc_id") -> DataFrame:
+    from ..partitioning import ensure_min_partitions
+
     grams = char_ngrams(F.col(key_col), n, n, remove_space_ngrams=False)
-    return docs.select(
+    # the gram explode is the CPU-heavy step of every dedup route — widen
+    # narrow (single-file / AQE-coalesced) inputs before it
+    return ensure_min_partitions(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(grams)).alias("term"),
     )
@@ -124,6 +128,14 @@ def _jaccard_dense_packed(packed: DataFrame, threshold: float) -> DataFrame:
         mat[pos[r["doc_id"]], np.asarray(r["ts"], dtype=np.int64)] = 1
     sizes = mat.sum(axis=1, dtype=np.int64)
     bc = spark.sparkContext.broadcast((ids, mat, sizes))
+    # the groupBy behind ``packed`` leaves a byte-tiny shuffle output that
+    # AQE coalesces to ONE partition — which would serialize the matmul
+    # kernel onto a single task. Spread the streamed side explicitly
+    # (~≥32 docs per batch keeps the BLAS calls wide).
+    n_part = max(
+        1, min(spark.sparkContext.defaultParallelism, len(ids) // 32)
+    )
+    packed = packed.repartition(n_part)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         to_ids, to_u8, to_sz = bc.value
@@ -262,7 +274,9 @@ def ngram_jaccard_pairs(
     distinct-gram-set reduction (exact, matmul over distinct sets only);
     large vocab → the gram join (use ``max_df`` to tame hot grams). All
     routes produce identical rows where they are exact."""
-    g = _distinct_grams(docs, key_col, n)
+    # materialize the gram explode ONCE: the routing gate plus every route
+    # (pack, sizes, both join sides) would otherwise re-run it per consumer
+    g = _distinct_grams(docs, key_col, n).localCheckpoint(eager=True)
     terms = _vocab_if_small(g)
     if terms is not None:
         # doc gate from the raw table count (no gram explode) — counting
@@ -325,7 +339,9 @@ def minhash_near_dups(
     contract): the incidence matmul when the corpus fits the dense budget,
     the distinct-gram-set reduction when it doesn't. Only large-vocab
     corpora run banded LSH + exact verify."""
-    g0 = _distinct_grams(docs, key_col, n)
+    # one materialized gram explode serves the routing gate, the dense
+    # routes, and all three verify consumers (sizes + both join sides)
+    g0 = _distinct_grams(docs, key_col, n).localCheckpoint(eager=True)
     terms = _vocab_if_small(g0)
     if terms is not None:
         if docs.count() <= DENSE_MAX_DOCS:

@@ -54,6 +54,19 @@ def fits_broadcast(n_docs: int, dim: int) -> bool:
     )
 
 
+def _spread(df: DataFrame, n_rows: int) -> DataFrame:
+    """Explicitly widen the streamed side of a dense kernel. The tiny
+    shuffle outputs (or single parquet files) feeding these mapInPandas
+    kernels get AQE-coalesced onto 1-3 tasks, which serializes the batch
+    matmul; ~≥32 rows per partition keeps every BLAS call wide while never
+    fanning small inputs into empty tasks."""
+    n_part = max(
+        1,
+        min(df.sparkSession.sparkContext.defaultParallelism, n_rows // 32),
+    )
+    return df.repartition(n_part)
+
+
 def _dense_rows(vec: DataFrame, term_ids: DataFrame) -> DataFrame:
     """(doc_id, tids: array<int>, ws: array<double>) — aligned sparse pairs,
     deterministic order via sort_array on the (tid, weight) structs."""
@@ -157,7 +170,7 @@ def tfidf_dense_topk(
     min_milli = int(np.floor(round(min_similarity, 3) * 1000 + 0.5)) if (
         min_similarity > 0
     ) else 0
-    return _dense_rows(from_vec, term_ids).mapInPandas(
+    return _spread(_dense_rows(from_vec, term_ids), n_to).mapInPandas(
         _topk_batches(bc_ids, bc_mat, top_n, min_milli, exclude_self),
         schema=OUT_SCHEMA,
     )
@@ -199,8 +212,11 @@ def tfidf_dense_topk_packed(
     min_milli = int(np.floor(round(min_similarity, 3) * 1000 + 0.5)) if (
         min_similarity > 0
     ) else 0
-    renamed = packed.select(
-        "doc_id", F.col("t").alias("tids"), F.col("w").alias("ws")
+    renamed = _spread(
+        packed.select(
+            "doc_id", F.col("t").alias("tids"), F.col("w").alias("ws")
+        ),
+        n_docs,
     )
     return renamed.mapInPandas(
         _topk_batches(bc_ids, bc_mat, top_n, min_milli, exclude_self),
@@ -287,7 +303,7 @@ def embedding_near_dup_pairs(
                 {"from_id": out_f, "to_id": out_t, "cos_milli": out_c}
             )
 
-    return normed(corpus).mapInPandas(
+    return _spread(normed(corpus), n_corpus).mapInPandas(
         gen, schema="from_id long, to_id long, cos_milli long"
     )
 
@@ -361,6 +377,6 @@ def embedding_dense_topk(
                 out["cos_milli"].extend(row[order])
             yield pd.DataFrame(out)
 
-    return normed(queries).mapInPandas(
+    return _spread(normed(queries), n_corpus).mapInPandas(
         gen, schema="query_id long, neighbor_id long, rank int, cos_milli long"
     )

@@ -27,9 +27,13 @@ from pyspark.sql import functions as F
 
 def _norm_vec(df: DataFrame, id_out: str, vec_out: str,
               id_col: str, vec_col: str) -> DataFrame:
+    from ..partitioning import ensure_min_partitions
+
     vec = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-    return df.select(
+    # every ANN path feeds this into a numpy mapInPandas kernel — widen
+    # narrow single-file reads so the kernel fans out
+    return ensure_min_partitions(df).select(
         F.col(id_col).alias(id_out),
         F.transform(vec, lambda x: x / norm).alias(vec_out),
     )

@@ -45,6 +45,39 @@ def filter_edges(matches: DataFrame, min_similarity: float = 0.75) -> DataFrame:
     )
 
 
+# edge-count budget for the driver union-find fast path: 1M edges of short
+# string keys is ~100-200 MB on the driver — the same bounded-broadcast
+# contract as ``dense_cosine.fits_broadcast``. Above it, the distributed
+# pointer-doubling loop runs. Monkeypatchable in tests.
+SMALL_GRAPH_MAX_EDGES = 1_000_000
+
+
+def _components_driver(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Union-find with path compression + union-to-min: the root of every
+    component is its lexicographically smallest key (byte-wise UTF-8 order,
+    identical to Spark's string min for valid UTF-8)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        for k in (a, b):
+            if k not in parent:
+                parent[k] = k
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(k, find(k)) for k in parent]
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 50, stats: dict | None = None
 ) -> DataFrame:
@@ -54,8 +87,18 @@ def connected_components(
     at least one edge (singletons are not clusters, matching the reference:
     unmatched strings never enter cluster_mapping).
 
+    Size-adaptive: an edge set within ``SMALL_GRAPH_MAX_EDGES`` is solved by
+    driver union-find in one pass — the iterative label loop pays ~5 Spark
+    jobs of pure scheduling overhead PER ROUND, which dwarfs the actual work
+    on match-graphs (near-dup components are tiny; the whole edge list is
+    far smaller than the corpus that produced it). Larger graphs run the
+    distributed min-label + pointer-jumping loop below, converging in
+    O(log diameter) rounds. Both tiers produce identical (key,
+    representative, cluster_id) rows (pinned by
+    ``tests/test_grouping.py::test_driver_and_distributed_tiers_agree``).
+
     ``stats``: optional dict that receives {"iterations": n} — used by the
-    convergence-bound tests.
+    convergence-bound tests (0 = driver tier).
     """
     spark = edges.sparkSession
     sym = edges.union(
@@ -63,12 +106,29 @@ def connected_components(
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
 
+    n_edges = sym.count()
+    if n_edges <= SMALL_GRAPH_MAX_EDGES:
+        # one undirected copy of each edge (sym holds both directions)
+        pairs = [
+            (r["src"], r["dst"])
+            for r in sym.where(F.col("src") <= F.col("dst")).collect()
+        ]
+        if stats is not None:
+            stats["iterations"] = 0
+        out = spark.createDataFrame(
+            _components_driver(pairs), "key string, representative string"
+        )
+        return out.select(
+            "key",
+            "representative",
+            F.xxhash64("representative").alias("cluster_id"),
+        )
+
     # size the iteration shuffles to the edge set: the driver loop pays
     # per-partition task overhead × iterations × jobs, so a small graph on a
     # large-session shuffle count (e.g. 64) spends more time scheduling than
     # propagating labels. Restored in the finally (an exception mid-loop
     # must not leave the whole session on 8 shuffle partitions).
-    n_edges = sym.count()
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         base_parts = int(old_parts)

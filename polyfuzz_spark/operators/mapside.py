@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.ngrams import char_ngrams
 from ..functions.normalize import clean_string
+from ..partitioning import ensure_min_partitions
 from .tfidf import TfidfConfig, TfidfModel
 
 
@@ -99,7 +100,7 @@ def fit_idf_mapside(docs: DataFrame, key_col: str = "key",
                 {"term": list(df_counts), "pdf_": list(df_counts.values())}
             )
 
-    partials = docs.select(key_col).mapInPandas(
+    partials = ensure_min_partitions(docs.select(key_col)).mapInPandas(
         gen, schema="term string, pdf_ long"
     )
     idf = partials.groupBy("term").agg(
@@ -160,7 +161,7 @@ def vectorize_packed_mapside(
             yield pd.DataFrame({"doc_id": ids, "t": ts, "w": ws})
 
     w_type = "float" if compact else "double"
-    return docs.select(id_col, key_col).mapInPandas(
+    return ensure_min_partitions(docs.select(id_col, key_col)).mapInPandas(
         gen, schema=f"doc_id long, t array<int>, w array<{w_type}>"
     )
 
@@ -244,7 +245,7 @@ def minhash_bands_mapside(
                 {"doc_id": out_id, "band": out_band, "band_key": out_key}
             )
 
-    return docs.select(id_col, key_col).mapInPandas(
+    return ensure_min_partitions(docs.select(id_col, key_col)).mapInPandas(
         gen, schema="doc_id long, band int, band_key long"
     )
 

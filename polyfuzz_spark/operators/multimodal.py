@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import ensure_min_partitions
+
 FEATURE_DIM = 16
 
 FEATURES_SCHEMA = (
@@ -80,7 +82,7 @@ def extract_features(media: DataFrame, batch_check: bool = False) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
+    return ensure_min_partitions(media.select("doc_id", "payload")).mapInPandas(
         run, schema=FEATURES_SCHEMA
     )
 
@@ -115,7 +117,7 @@ def sample_frames(media: DataFrame, frame_size: int = 64,
                  "frame_sha256": digests}
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
+    return ensure_min_partitions(media.select("doc_id", "payload")).mapInPandas(
         run, schema=FRAMES_SCHEMA
     )
 
@@ -136,7 +138,7 @@ def resize_features(features: DataFrame, out_dim: int = 8) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": out})
 
-    return features.select("doc_id", "feature").mapInPandas(
+    return ensure_min_partitions(features.select("doc_id", "feature")).mapInPandas(
         run, schema="doc_id long, feature array<float>"
     )
 

@@ -116,10 +116,15 @@ def test_connected_components_transitive(spark):
     ].cluster_id.iloc[0]
 
 
-def test_connected_components_path_graph_log_rounds(spark):
+def test_connected_components_path_graph_log_rounds(spark, monkeypatch):
     """Worst-case diameter: a 1000-node path must converge in O(log n)
     rounds (pointer doubling), not O(n) — at corpus scale a path-shaped
-    component under one-hop propagation means hundreds of shuffle rounds."""
+    component under one-hop propagation means hundreds of shuffle rounds.
+    Forces the distributed tier (the driver union-find would otherwise
+    absorb a graph this small)."""
+    from polyfuzz_spark.operators import linkage
+
+    monkeypatch.setattr(linkage, "SMALL_GRAPH_MAX_EDGES", 0)
     n = 1000
     keys = [f"{i:06d}" for i in range(n)]
     edges = spark.createDataFrame(
@@ -131,7 +136,30 @@ def test_connected_components_path_graph_log_rounds(spark):
     assert set(out.representative) == {keys[0]}
     assert len(out) == n
     # log2(1000) ≈ 10; allow slack for the final no-change round
-    assert stats["iterations"] <= 15, stats
+    assert 0 < stats["iterations"] <= 15, stats
+
+
+def test_driver_and_distributed_tiers_agree(spark, monkeypatch):
+    """The size-adaptive CC tiers must be observationally identical:
+    same (key, representative, cluster_id) rows on a graph mixing chains,
+    stars, self-loops, and falsy keys."""
+    from polyfuzz_spark.operators import linkage
+
+    edge_list = (
+        [(f"{i:03d}", f"{i + 1:03d}") for i in range(0, 40, 2)]   # chains
+        + [("hub", f"spoke{i}") for i in range(10)]               # star
+        + [("loop", "loop"), ("", "x"), ("x", "y")]               # quirks
+    )
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    fast = connected_components(edges).toPandas()
+    monkeypatch.setattr(linkage, "SMALL_GRAPH_MAX_EDGES", 0)
+    stats: dict = {}
+    slow = connected_components(edges, stats=stats).toPandas()
+    assert stats["iterations"] > 0
+    key = ["key", "representative", "cluster_id"]
+    f = fast[key].sort_values("key").reset_index(drop=True)
+    s = slow[key].sort_values("key").reset_index(drop=True)
+    assert f.equals(s), (f, s)
 
 
 def test_connected_components_empty_string_key(spark):
