@@ -91,7 +91,33 @@ def fit_idf_mapside(docs: DataFrame, key_col: str = "key",
         from ..functions.pygrams import doc_grams_py
 
         cfg_l = bc_cfg.value
+        batched = cfg_l.clean_string and cfg_l.n_gram_range[1] <= 8
         for pdf in batches:
+            if batched:
+                # whole-batch: distinct (gram, doc) pairs via one lexsort,
+                # document frequency via run lengths over the gram runs —
+                # integer counts, so identical to the dict accumulation
+                parts = list(_iter_gram_windows(list(pdf[key_col]), cfg_l))
+                if not parts:
+                    yield pd.DataFrame({"term": [], "pdf_": []}).astype(
+                        {"term": "object", "pdf_": "int64"}
+                    )
+                    continue
+                doc_of = np.concatenate([p[0] for p in parts])
+                g = np.concatenate([p[1] for p in parts])
+                order = np.lexsort((doc_of, g))
+                gs, ds = g[order], doc_of[order]
+                first = np.ones(gs.size, dtype=bool)
+                first[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
+                gu = gs[first]  # distinct (gram, doc), gram-major order
+                run = np.ones(gu.size, dtype=bool)
+                run[1:] = gu[1:] != gu[:-1]
+                starts = np.nonzero(run)[0]
+                dfc = np.diff(np.append(starts, gu.size))
+                yield pd.DataFrame(
+                    {"term": _unpack_u64_terms(gu[starts]), "pdf_": dfc}
+                )
+                continue
             df_counts: dict[str, int] = {}
             for key in pdf[key_col]:
                 for g in set(doc_grams_py(key or "", cfg_l)):
@@ -133,25 +159,100 @@ def vectorize_packed_mapside(
     spark = docs.sparkSession
     rows = sorted(model.idf.collect(), key=lambda r: r["term"])
     vocab = {r["term"]: (i, r["idf"]) for i, r in enumerate(rows)}
-    bc = spark.sparkContext.broadcast((vocab, model.config, compact))
+    cfg0 = model.config
+    # batched kernel precondition: every vocab term packs exactly into u64
+    # (tid stays the rank in SORTED-TERM order, so output is bit-identical)
+    batched = (
+        cfg0.clean_string
+        and cfg0.n_gram_range[1] <= 8
+        and all(len(r["term"]) <= 8 for r in rows)
+    )
+    if batched:
+        vkeys = _pack_grams_u64([r["term"] for r in rows])
+        vorder = np.argsort(vkeys)
+        vpack = (
+            vkeys[vorder],
+            vorder.astype(np.int64),  # tid of the k-th smallest key
+            np.array([r["idf"] for r in rows], dtype=np.float64)[vorder],
+        )
+    else:
+        vpack = None
+    bc = spark.sparkContext.broadcast(
+        (vocab, model.config, compact, vpack)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.pygrams import doc_grams_py
 
-        vocab_l, cfg, compact_l = bc.value
+        vocab_l, cfg, compact_l, vpack_l = bc.value
         for pdf in batches:
             ids, ts, ws = [], [], []
+            if vpack_l is not None:
+                # whole-batch: flat gram array → vocab searchsorted → one
+                # stable sort on (doc, tid) → run-length tf counts × idf
+                # (exactly the relational path's tf*idf product, tfidf.py);
+                # only the per-doc L2 norm stays a loop (exact w@w dots)
+                vk, vtid, vidf = vpack_l
+                V = np.int64(vk.size)
+                parts = list(
+                    _iter_gram_windows(list(pdf[key_col]), cfg)
+                )
+                if parts:
+                    doc_of = np.concatenate([p[0] for p in parts])
+                    g = np.concatenate([p[1] for p in parts])
+                    pos = np.searchsorted(vk, g)
+                    in_r = pos < vk.size
+                    ok = in_r.copy()
+                    ok[in_r] = vk[pos[in_r]] == g[in_r]
+                    d, p = doc_of[ok], pos[ok]
+                    tid, idfv = vtid[p], vidf[p]
+                    key = d * V + tid
+                    order = np.argsort(key, kind="stable")
+                    ks, iv = key[order], idfv[order]
+                    run = np.ones(ks.size, dtype=bool)
+                    run[1:] = ks[1:] != ks[:-1]
+                    starts = np.nonzero(run)[0]
+                    if starts.size:
+                        cnt = np.diff(np.append(starts, ks.size))
+                        w_all = cnt.astype(np.float64) * iv[starts]
+                        ku = ks[run]
+                        tid_u = ku % V
+                        d_u = ku // V
+                        doc_run = np.ones(d_u.size, dtype=bool)
+                        doc_run[1:] = d_u[1:] != d_u[:-1]
+                        bounds = np.append(
+                            np.nonzero(doc_run)[0], d_u.size
+                        )
+                        ids_np = pdf[id_col].to_numpy()
+                        for a, b in zip(bounds[:-1], bounds[1:]):
+                            wts = w_all[a:b].copy()
+                            wts /= np.sqrt(wts @ wts)
+                            ids.append(ids_np[d_u[a]])
+                            ts.append(tid_u[a:b].astype(np.int32))
+                            ws.append(
+                                wts.astype(np.float32) if compact_l else wts
+                            )
+                yield pd.DataFrame({"doc_id": ids, "t": ts, "w": ws})
+                continue
             for did, key in zip(pdf[id_col], pdf[key_col]):
-                counts: dict[int, float] = {}
+                # integer tf counts × idf — same product as the relational
+                # path (tfidf.py tf*idf) and the batched kernel above
+                counts: dict[int, int] = {}
+                idfs: dict[int, float] = {}
                 for g in doc_grams_py(key or "", cfg):
                     hit = vocab_l.get(g)
                     if hit is not None:
                         tid, idf = hit
-                        counts[tid] = counts.get(tid, 0.0) + idf
+                        counts[tid] = counts.get(tid, 0) + 1
+                        idfs[tid] = idf
                 if not counts:
                     continue
                 tids = np.fromiter(counts.keys(), dtype=np.int64)
-                wts = np.fromiter(counts.values(), dtype=np.float64)
+                wts = np.fromiter(
+                    counts.values(), dtype=np.float64
+                ) * np.fromiter(
+                    (idfs[t] for t in counts), dtype=np.float64
+                )
                 order = np.argsort(tids)
                 tids, wts = tids[order], wts[order]
                 wts /= np.sqrt(wts @ wts)
@@ -200,6 +301,87 @@ def _pack_grams_u64(grams: list[str]) -> np.ndarray:
     return packed
 
 
+def _unpack_u64_terms(u: np.ndarray) -> list[str]:
+    """Inverse of the ≤8-byte exact packing: uint64 → gram string. Only
+    valid for grams that packed exactly (the batched kernels' precondition);
+    cleaned text never contains NUL, so stripping trailing zeros is safe."""
+    raw = u.astype("<u8").tobytes()
+    return [
+        raw[i : i + 8].rstrip(b"\0").decode("ascii")
+        for i in range(0, len(raw), 8)
+    ]
+
+
+def _iter_gram_windows(
+    keys: list, cfg: TfidfConfig
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Whole-batch n-gram extraction: yields one ``(doc_of, gram_u64)``
+    multiset pair per n in ``n_gram_range`` (doc_of nondecreasing).
+
+    Requires ``cfg.clean_string`` and ``n_gram_range[1] <= 8``: cleaned text
+    is ASCII ``[a-z0-9 ]``, so char n-grams ARE byte windows. The batch
+    packs into ONE byte buffer ('\\n'-separated — the separator is outside
+    the cleaned alphabet, so any boundary-spanning window contains it and is
+    dropped like a space-gram); ``sliding_window_view`` + zero-pad-to-8 +
+    ``view(uint64)`` reproduce ``_pack_grams_u64`` exactly. Replaces the
+    per-doc Python gram loops in the MinHash / fit / vectorize map-side
+    kernels — their shared hot spot at 1.25M docs."""
+    from ..functions.pygrams import clean_py
+
+    cleaned = [clean_py(k or "") for k in keys]
+    n_docs = len(cleaned)
+    arr = np.frombuffer("\n".join(cleaned).encode("ascii"), dtype=np.uint8)
+    lens = np.fromiter((len(c) for c in cleaned), dtype=np.int64, count=n_docs)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs > 1:
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+    for n in range(cfg.n_gram_range[0], cfg.n_gram_range[1] + 1):
+        if arr.size < n:
+            continue
+        W = np.lib.stride_tricks.sliding_window_view(arr, n)
+        bad = (W == 10).any(axis=1)
+        if cfg.remove_space_ngrams:
+            bad |= (W == 32).any(axis=1)
+        keep = ~bad
+        if not keep.any():
+            continue
+        pos = np.nonzero(keep)[0]
+        # a kept window never crosses a separator, so its doc is the one
+        # whose start is the last at or before its first byte
+        doc_of = np.searchsorted(starts, pos, side="right") - 1
+        P = np.zeros((len(pos), 8), dtype=np.uint8)
+        P[:, :n] = W[keep]
+        yield doc_of, P.view(np.uint64).ravel()
+
+
+def _minhash_sigs_batched(
+    keys: list, cfg: TfidfConfig, A: np.ndarray, B: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch MinHash signatures: (kept_doc_idx, sig[k, num_hashes]).
+
+    Per-doc column minima via ``np.minimum.reduceat`` over doc segments of
+    the flat gram array. MinHash minima over the gram MULTISET equal minima
+    over the distinct set, so signatures are bit-identical to the per-doc
+    path (same packing, same hash family)."""
+    n_docs = len(keys)
+    num_hashes = len(A)
+    sig = np.full((n_docs, num_hashes), _U64_MASK, dtype=np.uint64)
+    any_grams = np.zeros(n_docs, dtype=bool)
+    for doc_of, g in _iter_gram_windows(keys, cfg):
+        counts = np.bincount(doc_of, minlength=n_docs)
+        nonempty = counts > 0
+        any_grams |= nonempty
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1][nonempty]
+        with np.errstate(over="ignore"):
+            for i in range(num_hashes):
+                h = g * A[i] + B[i]
+                sig[nonempty, i] = np.minimum(
+                    sig[nonempty, i], np.minimum.reduceat(h, offs)
+                )
+    idx = np.nonzero(any_grams)[0]
+    return idx, sig[idx]
+
+
 def minhash_bands_mapside(
     docs: DataFrame,
     key_col: str = "key",
@@ -210,7 +392,10 @@ def minhash_bands_mapside(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, band, band_key) — banded MinHash computed per document in
-    numpy; the only shuffle left in blocking is the band-key equi-join."""
+    numpy; the only shuffle left in blocking is the band-key equi-join.
+    Default (cleaned, n ≤ 8) configs take the whole-batch reduceat kernel
+    (``_minhash_sigs_batched``); others fall back to the per-doc loop with
+    the same hash family, so band keys are identical either way."""
     cfg = cfg or TfidfConfig()
     rows_per_band = num_hashes // bands
     rng = np.random.default_rng(seed)
@@ -219,13 +404,43 @@ def minhash_bands_mapside(
     B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
     A2 = (rng.integers(0, 2**63, size=rows_per_band, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast((A, B, A2, cfg, bands, rows_per_band))
+    batched = cfg.clean_string and cfg.n_gram_range[1] <= 8
+    bc = spark.sparkContext.broadcast(
+        (A, B, A2, cfg, bands, rows_per_band, batched)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.pygrams import doc_grams_py
 
-        A_l, B_l, A2_l, cfg_l, n_bands, rpb = bc.value
+        A_l, B_l, A2_l, cfg_l, n_bands, rpb, batched_l = bc.value
         for pdf in batches:
+            if batched_l:
+                idx, sigs = _minhash_sigs_batched(
+                    list(pdf[key_col]), cfg_l, A_l, B_l
+                )
+                if not len(idx):
+                    yield pd.DataFrame(
+                        {"doc_id": [], "band": [], "band_key": []}
+                    ).astype(
+                        {"doc_id": "int64", "band": "int32",
+                         "band_key": "int64"}
+                    )
+                    continue
+                with np.errstate(over="ignore"):
+                    bk = (
+                        sigs.reshape(-1, n_bands, rpb) * A2_l[None, None, :]
+                    ).sum(axis=2).astype(np.int64)
+                dids = pdf[id_col].to_numpy()[idx]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(dids, n_bands),
+                        "band": np.tile(
+                            np.arange(n_bands, dtype=np.int32), len(idx)
+                        ),
+                        "band_key": bk.ravel(),
+                    }
+                )
+                continue
             out_id, out_band, out_key = [], [], []
             for did, key in zip(pdf[id_col], pdf[key_col]):
                 grams = list(set(doc_grams_py(key or "", cfg_l)))

@@ -138,3 +138,118 @@ def test_mapside_blocking_recall_matches_jvm_path(spark):
     )
     missed = truth.join(cands, ["from_id", "to_id"], "left_anti").count()
     assert missed == 0
+
+
+def test_batched_minhash_bit_identical_to_perdoc():
+    """The whole-batch reduceat MinHash kernel must reproduce the per-doc
+    path's signatures EXACTLY (same hash family, same gram packing) —
+    including empty docs, all-space docs, unicode stripped by cleaning,
+    and duplicate grams (multiset min == set min)."""
+    import numpy as np
+
+    from polyfuzz_spark.functions.pygrams import doc_grams_py
+    from polyfuzz_spark.operators.mapside import (
+        _minhash_sigs_batched,
+        _pack_grams_u64,
+    )
+    from polyfuzz_spark.operators.tfidf import TfidfConfig
+
+    rng = np.random.default_rng(0)
+    words = ["apple", "apples", "Appl!", "fruit-db", "ümlaut", "a", ""]
+    keys = []
+    for i in range(200):
+        k = " ".join(rng.choice(words, size=rng.integers(0, 6)))
+        keys.append(k if i % 7 else None)
+    keys += ["", "   ", "!!", "ab", "aaaaaa", "x y z"]
+
+    for cfg in (TfidfConfig(), TfidfConfig(n_gram_range=(2, 4)),
+                TfidfConfig(remove_space_ngrams=False)):
+        num_hashes = 16
+        r = np.random.default_rng(42)
+        A = (r.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+             << np.uint64(1)) | np.uint64(1)
+        B = r.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+        idx, sigs = _minhash_sigs_batched(keys, cfg, A, B)
+
+        exp_idx, exp_sigs = [], []
+        for i, k in enumerate(keys):
+            g = _pack_grams_u64(list(set(doc_grams_py(k or "", cfg))))
+            if not len(g):
+                continue
+            with np.errstate(over="ignore"):
+                exp_sigs.append(
+                    (g[:, None] * A[None, :] + B[None, :]).min(axis=0)
+                )
+            exp_idx.append(i)
+        assert idx.tolist() == exp_idx
+        assert np.array_equal(sigs, np.asarray(exp_sigs))
+
+
+def test_batched_fit_vectorize_bit_identical(spark):
+    """Whole-batch fit/vectorize kernels must reproduce the per-doc dict
+    algorithm bit-for-bit: same IDF table, same tids, same float64 weights
+    (repeated-add tf accumulation and per-doc w@w norms preserved)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.functions.pygrams import doc_grams_py
+    from polyfuzz_spark.operators.mapside import (
+        fit_idf_mapside,
+        vectorize_packed_mapside,
+    )
+    from polyfuzz_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, n_entities=60, seed=3)
+    docs = corpus.select("doc_id", F.col("content").alias("key"))
+    model = fit_idf_mapside(docs, "key")
+    cfg = model.config
+
+    keys = {r["doc_id"]: r["key"] for r in docs.collect()}
+
+    # expected IDF: dict-based df counts over distinct grams per doc
+    n_docs = len(keys)
+    df_counts: dict[str, int] = {}
+    for k in keys.values():
+        for g in set(doc_grams_py(k or "", cfg)):
+            df_counts[g] = df_counts.get(g, 0) + 1
+    # df counts are integers — exact; IDF itself is computed JVM-side from
+    # them (same expression either kernel), so vocab identity is via df
+    got_idf = {r["term"]: r["idf"] for r in model.idf.collect()}
+    assert set(got_idf) == set(df_counts)
+    exp_df = {
+        t: round((1.0 + n_docs) / np.exp(v - 1.0) - 1.0)
+        for t, v in got_idf.items()
+    }
+    assert exp_df == df_counts
+
+    # expected packed vectors: the original per-doc dict accumulation,
+    # seeded with the model's own IDF values
+    vocab = {t: (i, got_idf[t]) for i, t in enumerate(sorted(got_idf))}
+    vocab_idf = {i: idf for (i, idf) in vocab.values()}
+    packed = {
+        r["doc_id"]: (r["t"], r["w"])
+        for r in vectorize_packed_mapside(model, docs, "key").collect()
+    }
+    n_checked = 0
+    for did, k in keys.items():
+        counts: dict[int, int] = {}
+        for g in doc_grams_py(k or "", cfg):
+            hit = vocab.get(g)
+            if hit is not None:
+                counts[hit[0]] = counts.get(hit[0], 0) + 1
+        if not counts:
+            assert did not in packed
+            continue
+        tids = np.fromiter(counts.keys(), dtype=np.int64)
+        wts = np.fromiter(counts.values(), dtype=np.float64) * np.array(
+            [vocab_idf[t] for t in counts]
+        )
+        order = np.argsort(tids)
+        tids, wts = tids[order], wts[order]
+        wts /= np.sqrt(wts @ wts)
+        got_t, got_w = packed[did]
+        assert list(got_t) == tids.tolist()
+        assert got_w == wts.tolist()  # exact float64 equality
+        n_checked += 1
+    assert n_checked > 50
