@@ -335,23 +335,29 @@ def _iter_gram_windows(
     starts = np.zeros(n_docs, dtype=np.int64)
     if n_docs > 1:
         np.cumsum(lens[:-1] + 1, out=starts[1:])
+    bad_b = arr == 10
+    if cfg.remove_space_ngrams:
+        bad_b = bad_b | (arr == 32)
     for n in range(cfg.n_gram_range[0], cfg.n_gram_range[1] + 1):
         if arr.size < n:
             continue
-        W = np.lib.stride_tricks.sliding_window_view(arr, n)
-        bad = (W == 10).any(axis=1)
-        if cfg.remove_space_ngrams:
-            bad |= (W == 32).any(axis=1)
-        keep = ~bad
+        # 1-D shift-or packing: byte k of the window lands at bit 8k —
+        # little-endian, the exact _pack_grams_u64 layout. n 1-D passes
+        # beat materializing (m, n) window matrices ~10x.
+        m = arr.size - n + 1
+        acc = arr[:m].astype(np.uint64)
+        badw = bad_b[:m].copy()
+        for k in range(1, n):
+            acc |= arr[k : k + m].astype(np.uint64) << np.uint64(8 * k)
+            badw |= bad_b[k : k + m]
+        keep = ~badw
         if not keep.any():
             continue
         pos = np.nonzero(keep)[0]
         # a kept window never crosses a separator, so its doc is the one
         # whose start is the last at or before its first byte
         doc_of = np.searchsorted(starts, pos, side="right") - 1
-        P = np.zeros((len(pos), 8), dtype=np.uint8)
-        P[:, :n] = W[keep]
-        yield doc_of, P.view(np.uint64).ravel()
+        yield doc_of, acc[keep]
 
 
 def _minhash_sigs_batched(
@@ -368,6 +374,14 @@ def _minhash_sigs_batched(
     sig = np.full((n_docs, num_hashes), _U64_MASK, dtype=np.uint64)
     any_grams = np.zeros(n_docs, dtype=bool)
     for doc_of, g in _iter_gram_windows(keys, cfg):
+        # dedup (doc, gram) before hashing: code-like text repeats grams
+        # ~5x, and the minima are identical over the distinct set — one
+        # lexsort here saves that factor across all num_hashes passes
+        order = np.lexsort((g, doc_of))
+        ds, gs = doc_of[order], g[order]
+        first = np.ones(gs.size, dtype=bool)
+        first[1:] = (ds[1:] != ds[:-1]) | (gs[1:] != gs[:-1])
+        doc_of, g = ds[first], gs[first]
         counts = np.bincount(doc_of, minlength=n_docs)
         nonempty = counts > 0
         any_grams |= nonempty
