@@ -11,9 +11,10 @@ pure functions of the content, so they belong on the map side:
   groupBy(term) (map-side combinable, tiny shuffle). Exact same IDF values
   as the reference formula.
 * ``vectorize_packed_mapside`` — broadcast {term → (tid, idf)}; each Arrow
-  batch cleans, shingles, counts, weights and L2-normalizes whole documents
-  in Python/numpy. Output: packed (doc_id, t: array<bigint>, w) rows — the
-  ONLY thing that ever shuffles. Feeds ``score_candidates_packed``.
+  batch cleans, shingles, counts, weights and L2-normalizes ALL its
+  documents at once in numpy (``_iter_gram_windows`` + one lexsort).
+  Output: packed (doc_id, t: array<bigint>, w) rows — the ONLY thing that
+  ever shuffles. Feeds ``score_candidates_packed``.
 * ``minhash_bands_mapside`` — n-grams (n ≤ 8 chars) pack EXACTLY into
   uint64 (no hash collisions at all); num_hashes affine maps
   ``a_i · g + b_i`` over 2⁶⁴ (multiply-shift family, odd ``a_i``) give the
