@@ -184,54 +184,31 @@ def score_candidates_packed(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-pair merge loop ON PURPOSE. A whole-batch variant (rank-map
+        # all tids via one np.unique, pair-strided keys, one searchsorted)
+        # was microbenched 7-96x SLOWER at realistic shapes: code documents
+        # carry 100-1500 grams, so a 10k-pair batch holds 10-30M term ids,
+        # and sorting/binary-searching those giant full-range-int64 arrays
+        # (tens of MB, cache-hostile) loses badly to 10k tiny searchsorted
+        # calls over 5 KB cache-resident arrays. Python loop overhead is
+        # ~50 us/pair — noise next to the O(batch_terms log batch_terms)
+        # global sort.
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                yield pd.DataFrame(
-                    {"from_id": pdf["from_id"], "to_id": pdf["to_id"],
-                     "sim": np.empty(0)}
+            sims = np.empty(len(pdf))
+            for i, (ft, fw, tt, tw) in enumerate(
+                zip(pdf["from_t"], pdf["from_w"], pdf["to_t"], pdf["to_w"])
+            ):
+                a = np.asarray(ft, dtype=np.int64)
+                b = np.asarray(tt, dtype=np.int64)
+                # both sorted → intersect via searchsorted (merge join)
+                idx = np.searchsorted(b, a)
+                idx_ok = idx < len(b)
+                hit = np.zeros(len(a), dtype=bool)
+                hit[idx_ok] = b[idx[idx_ok]] == a[idx_ok]
+                sims[i] = float(
+                    np.asarray(fw, dtype=np.float64)[hit]
+                    @ np.asarray(tw, dtype=np.float64)[idx[hit]]
                 )
-                continue
-            # whole-batch merge-intersect: tid arrays are sorted within a
-            # pair, so keying them as pair_idx*stride + tid yields two
-            # GLOBALLY sorted arrays — one searchsorted intersects every
-            # pair at once, and bincount folds the per-pair dot products
-            # (replaces ~|pairs| tiny per-pair numpy calls per batch)
-            ft = [np.asarray(x, dtype=np.int64) for x in pdf["from_t"]]
-            tt = [np.asarray(x, dtype=np.int64) for x in pdf["to_t"]]
-            la = np.fromiter(map(len, ft), dtype=np.int64, count=n)
-            lb = np.fromiter(map(len, tt), dtype=np.int64, count=n)
-            fa = np.concatenate(ft) if la.sum() else np.empty(0, np.int64)
-            ta = np.concatenate(tt) if lb.sum() else np.empty(0, np.int64)
-            fw = np.concatenate(
-                [np.asarray(x, dtype=np.float64) for x in pdf["from_w"]]
-            ) if la.sum() else np.empty(0)
-            tw = np.concatenate(
-                [np.asarray(x, dtype=np.float64) for x in pdf["to_w"]]
-            ) if lb.sum() else np.empty(0)
-            # tids may be raw 64-bit term hashes (relational packed path) —
-            # negative and full-range — so rank-map them batch-locally
-            # first; the map is monotone, preserving within-pair order
-            uniq = np.unique(np.concatenate([fa, ta]))
-            if not uniq.size:
-                yield pd.DataFrame(
-                    {"from_id": pdf["from_id"], "to_id": pdf["to_id"],
-                     "sim": np.zeros(n)}
-                )
-                continue
-            stride = np.int64(uniq.size)
-            fa = np.searchsorted(uniq, fa)
-            ta = np.searchsorted(uniq, ta)
-            ka = np.repeat(np.arange(n, dtype=np.int64), la) * stride + fa
-            kb = np.repeat(np.arange(n, dtype=np.int64), lb) * stride + ta
-            idx = np.searchsorted(kb, ka)
-            in_r = idx < kb.size
-            hit = in_r.copy()
-            hit[in_r] = kb[idx[in_r]] == ka[in_r]
-            prod = fw[hit] * tw[idx[hit]]
-            sims = np.bincount(
-                ka[hit] // stride, weights=prod, minlength=n
-            )
             yield pd.DataFrame(
                 {
                     "from_id": pdf["from_id"],
