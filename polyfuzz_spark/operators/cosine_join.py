@@ -186,13 +186,14 @@ def score_candidates_packed(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Per-pair merge loop ON PURPOSE. A whole-batch variant (rank-map
         # all tids via one np.unique, pair-strided keys, one searchsorted)
-        # was microbenched 7-96x SLOWER at realistic shapes: code documents
-        # carry 100-1500 grams, so a 10k-pair batch holds 10-30M term ids,
-        # and sorting/binary-searching those giant full-range-int64 arrays
-        # (tens of MB, cache-hostile) loses badly to 10k tiny searchsorted
-        # calls over 5 KB cache-resident arrays. Python loop overhead is
-        # ~50 us/pair — noise next to the O(batch_terms log batch_terms)
-        # global sort.
+        # was A/B-microbenched SLOWER at every measured shape: 1.5-2.4x on
+        # the real ER corpus (~160 distinct trigrams/doc, real MinHash
+        # candidate pairs, 1k-10k-row batches, interleaved reps) and 7-96x
+        # on long-document shapes (600-1500 terms/doc, full-range int64
+        # hashes). The global sort/binary-search over the batch's
+        # concatenated term ids (MBs, cache-hostile) loses to tiny
+        # cache-resident per-pair searchsorted calls; ~23 us/pair total
+        # here, loop overhead included.
         for pdf in batches:
             sims = np.empty(len(pdf))
             for i, (ft, fw, tt, tw) in enumerate(
