@@ -54,8 +54,11 @@ SMALL_GRAPH_MAX_EDGES = 1_000_000
 
 def _components_driver(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Union-find with path compression + union-to-min: the root of every
-    component is its lexicographically smallest key (byte-wise UTF-8 order,
-    identical to Spark's string min for valid UTF-8)."""
+    component is its lexicographically smallest key. Python compares code
+    points while Spark's string min compares UTF-16 code units — identical
+    orders for BMP-only text, and this engine's keys are cleaned
+    [a-z0-9 ] ASCII, so both tiers pick the same representative (pinned by
+    test_driver_and_distributed_tiers_agree)."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
