@@ -175,7 +175,13 @@ def score_candidates_packed(
     )
     # explicit partition count: AQE coalesces by the candidate table's tiny
     # input size (16 B/row) and would run the fat packed join + the Python
-    # kernel on a handful of tasks; the join OUTPUT is ~10 KB/row
+    # kernel on a handful of tasks; the join OUTPUT is ~10 KB/row.
+    # (A pre-repartition(doc_id) of the packed side to share one exchange
+    # across both joins was tried and measured WORSE: AQE broadcast-joins
+    # the packed side whenever it fits — the explicit shuffle becomes pure
+    # overhead — and Catalyst does not reuse the exchange across the two
+    # differently-aliased projections. The join-1 output re-keyed by to_id
+    # is the inherent fat shuffle of pair scoring either way.)
     n_part = candidates.sparkSession.sparkContext.defaultParallelism * 8
     joined = (
         candidates.repartition(n_part, "from_id")
