@@ -8,54 +8,79 @@ algorithm descriptions (Indel = Levenshtein with substitution cost 2;
 WRatio composite per the public rapidfuzz spec; Jaro-Winkler per the
 standard definition, validated against DuckDB's jaro_winkler_similarity).
 
-The DP inner loops are numpy-vectorized (one vector op per DP row) so a
-pandas-UDF batch of pairs costs O(len_a) numpy calls per pair instead of
-O(len_a·len_b) Python ops. All ratio-family scores are 0–100 like rapidfuzz
-(callers rescale); jaro/jaro_winkler are 0–1.
+The DP kernels are bit-parallel over Python big ints (Myers 1999 for
+Levenshtein, Allison–Dix 1986 for LCS — the same published cores rapidfuzz
+uses): one O(⌈m/64⌉)-word step per text character instead of a length-m DP
+row. On this engine's short match keys (≤ ~80 chars) that is 8–20× faster
+per call than a numpy row DP (measured interleaved, 4k random pairs:
+Levenshtein 410→37 µs, LCS 237→13 µs), which is what bounds the
+pandas-UDF ratio/WRatio scan throughput. All ratio-family scores are 0–100
+like rapidfuzz (callers rescale); jaro/jaro_winkler are 0–1.
 """
 
 from __future__ import annotations
 
-import numpy as np
 
-
-def _codes(s: str) -> np.ndarray:
-    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+def _match_masks(a: str) -> dict[str, int]:
+    """char → bitmask of its positions in ``a`` (bit i ⇔ a[i] == char)."""
+    pm: dict[str, int] = {}
+    bit = 1
+    for ch in a:
+        pm[ch] = pm.get(ch, 0) | bit
+        bit <<= 1
+    return pm
 
 
 def levenshtein(a: str, b: str) -> int:
-    """Unit-cost edit distance (oracle: DuckDB ``levenshtein``)."""
+    """Unit-cost edit distance (oracle: DuckDB ``levenshtein``).
+
+    Myers' bit-vector algorithm: vertical delta of the DP column kept as
+    positive/negative bit masks, one constant number of word ops per char
+    of ``b`` (arbitrary-precision ints make the multi-word case free)."""
     if a == b:
         return 0
-    la, lb = len(a), len(b)
-    if la == 0 or lb == 0:
-        return max(la, lb)
-    bc = _codes(b)
-    steps = np.arange(lb + 1)
-    prev = steps.astype(np.int64).copy()
-    for i, ca in enumerate(_codes(a), 1):
-        cost = (bc != ca).astype(np.int64)
-        m = np.minimum(prev[1:] + 1, prev[:-1] + cost)
-        cur = np.concatenate(([i], m))
-        # cur[j] = min(cur[j], cur[j-1] + 1) — prefix-min via accumulate
-        cur = np.minimum.accumulate(cur - steps) + steps
-        prev = cur
-    return int(prev[-1])
+    m = len(a)
+    if m == 0 or len(b) == 0:
+        return max(m, len(b))
+    pm = _match_masks(a)
+    mask = (1 << m) - 1
+    high = 1 << (m - 1)
+    pv, mv, score = mask, 0, m
+    get = pm.get
+    for ch in b:
+        eq = get(ch, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & high:
+            score += 1
+        if mh & high:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score
 
 
 def lcs_length(a: str, b: str) -> int:
-    """Longest common subsequence length (numpy row DP)."""
-    la, lb = len(a), len(b)
-    if la == 0 or lb == 0:
+    """Longest common subsequence length.
+
+    Allison–Dix bit-string LCS: row kept as a bit string S (0-bit ⇔ a
+    match consumed), per char of ``b``: u = S & PM[c]; S = (S+u) | (S−u).
+    LCS = zero bits of the final S."""
+    la = len(a)
+    if la == 0 or len(b) == 0:
         return 0
-    bc = _codes(b)
-    prev = np.zeros(lb + 1, dtype=np.int64)
-    for ca in _codes(a):
-        eq = (bc == ca).astype(np.int64)
-        m = np.maximum(prev[1:], prev[:-1] + eq)
-        cur = np.maximum.accumulate(np.concatenate(([0], m)))
-        prev = cur
-    return int(prev[-1])
+    pm = _match_masks(a)
+    mask = (1 << la) - 1
+    s = mask
+    get = pm.get
+    for ch in b:
+        u = s & get(ch, 0)
+        s = ((s + u) | (s - u)) & mask
+    return la - s.bit_count()
 
 
 def indel_distance(a: str, b: str) -> int:
