@@ -36,6 +36,44 @@ def test_kernels_vs_duckdb_oracles():
         )
 
 
+def test_bitparallel_lcs_vs_reference_dp():
+    """The Allison–Dix bit-string LCS against a plain O(nm) DP, including
+    strings > 64 chars (multi-word big-int masks) and unicode."""
+
+    def lcs_dp(a: str, b: str) -> int:
+        prev = [0] * (len(b) + 1)
+        for ca in a:
+            cur = [0]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    prev[j - 1] + 1 if ca == cb else max(prev[j], cur[-1])
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(17)
+    alpha = "abcdef 0123é"
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 100)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 100)))
+        want = lcs_dp(a, b)
+        assert K.lcs_length(a, b) == want
+        # indel identity the ratio family is built on
+        assert K.indel_distance(a, b) == len(a) + len(b) - 2 * want
+
+
+def test_bitparallel_levenshtein_long_strings():
+    """Myers kernel beyond one 64-bit word, fuzzed vs DuckDB."""
+    con = duckdb.connect()
+    rng = random.Random(23)
+    for _ in range(60):
+        a = "".join(rng.choice("ab ") for _ in range(rng.randint(60, 150)))
+        b = "".join(rng.choice("ab ") for _ in range(rng.randint(60, 150)))
+        assert K.levenshtein(a, b) == con.execute(
+            "select levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+
+
 def test_ratio_known_values():
     # published rapidfuzz examples
     assert K.ratio("this is a test", "this is a test!") == pytest.approx(
