@@ -204,19 +204,29 @@ def jaro(a: str, b: str) -> float:
     window = max(la, lb) // 2 - 1
     if window < 0:
         window = 0
-    # pure-python char loops: numpy scalar indexing in this tight greedy
-    # match is ~5-10× slower than str comparisons
-    b_used = [False] * lb
+    # greedy match phase via per-char position masks: avail[c] holds the
+    # unused positions of c in b; "first unused j in window" is the lowest
+    # set bit of the window slice — O(1) big-int ops per char of a instead
+    # of an O(window) scan (measured 2× on ≤80-char keys, exact)
+    avail = _match_masks(b)
     seq_a: list[str] = []
     matched_j: list[int] = []
     for i, ca in enumerate(a):
-        lo, hi = max(0, i - window), min(lb, i + window + 1)
-        for j in range(lo, hi):
-            if not b_used[j] and b[j] == ca:
-                b_used[j] = True
-                seq_a.append(ca)
-                matched_j.append(j)
-                break
+        m = avail.get(ca)
+        if not m:
+            continue
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > lb:
+            hi = lb
+        x = ((m >> lo) << lo) & ((1 << hi) - 1)
+        if x:
+            j_bit = x & -x
+            avail[ca] = m ^ j_bit
+            seq_a.append(ca)
+            matched_j.append(j_bit.bit_length() - 1)
     matches = len(seq_a)
     if matches == 0:
         return 0.0
