@@ -118,8 +118,15 @@ def connected_components(
         pairs = list(zip(pdf["src"], pdf["dst"]))
         if stats is not None:
             stats["iterations"] = 0
+        import pandas as pd
+
+        # Arrow path (pandas in, not a list of tuples): at the 1M-edge
+        # budget ceiling a tuple-list createDataFrame row-pickles on the
+        # driver; the Arrow batch is ~10× cheaper both directions
+        rows = _components_driver(pairs)
         out = spark.createDataFrame(
-            _components_driver(pairs), "key string, representative string"
+            pd.DataFrame(rows, columns=["key", "representative"]),
+            "key string, representative string",
         )
         return out.select(
             "key",
