@@ -104,17 +104,21 @@ def connected_components(
     convergence-bound tests (0 = driver tier).
     """
     spark = edges.sparkSession
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    sym = sym.localCheckpoint(eager=True)
-
-    n_edges = sym.count()
+    # materialize the RAW edge list once (no shuffle — checkpoint is pure
+    # materialization) and gate on its count. The symmetrize+distinct pass
+    # (two shuffles of the edge list) is only built for the distributed
+    # tier: union-find is idempotent under duplicate and reversed edges,
+    # so the driver tier collects the raw list as-is. Raw count ≥ distinct
+    # count, so the budget stays a conservative driver-memory bound.
+    raw = edges.localCheckpoint(eager=True)
+    n_edges = raw.count()
     if n_edges <= SMALL_GRAPH_MAX_EDGES:
-        # one undirected copy of each edge (sym holds both directions);
         # Arrow transfer — ~10× cheaper than Row-object collect at the
-        # budget ceiling
-        pdf = sym.where(F.col("src") <= F.col("dst")).toPandas()
+        # budget ceiling. Null-keyed rows are dropped (the previous
+        # symmetrized path filtered them implicitly via src <= dst).
+        pdf = raw.where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        ).toPandas()
         pairs = list(zip(pdf["src"], pdf["dst"]))
         if stats is not None:
             stats["iterations"] = 0
@@ -133,6 +137,12 @@ def connected_components(
             "representative",
             F.xxhash64("representative").alias("cluster_id"),
         )
+
+    # distributed tier: symmetrize + dedup once (the label loop joins sym
+    # per round, so the dedup pays for itself immediately)
+    sym = raw.union(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
 
     # size the iteration shuffles to the edge set: the driver loop pays
     # per-partition task overhead × iterations × jobs, so a small graph on a
