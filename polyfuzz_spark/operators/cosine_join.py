@@ -182,6 +182,12 @@ def score_candidates_packed(
     # overhead — and Catalyst does not reuse the exchange across the two
     # differently-aliased projections. The join-1 output re-keyed by to_id
     # is the inherent fat shuffle of pair scoring either way.)
+    # Arrow batch size: raising spark.sql.execution.arrow.maxRecordsPerBatch
+    # 10k → 40k was A/B'd on this stage (250k docs, 8 threads, adjacent
+    # pairs): 3 wins / 1 loss, −5%..+19% — inside host noise, while the
+    # per-task Arrow buffer grows 4× (join output rows are ~2-4 KB packed
+    # vectors; 40k rows ≈ 80-160 MB/batch, risky on standard executors).
+    # Kept at the Spark default.
     n_part = candidates.sparkSession.sparkContext.defaultParallelism * 8
     joined = (
         candidates.repartition(n_part, "from_id")
