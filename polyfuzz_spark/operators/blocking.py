@@ -154,13 +154,22 @@ def minhash_candidates(
     )
     cond = (F.col("band") == F.col("t_band")) & (F.col("f_bk") == F.col("t_bk"))
     if to_df is None:
-        cond = cond & (F.col("from_id") != F.col("to_id"))
+        # one join row per unordered pair (halves the quadratic join output
+        # and the dedup shuffle); both orientations re-emitted afterwards —
+        # band counts are orientation-symmetric
+        cond = cond & (F.col("from_id") < F.col("to_id"))
     joined = f.join(t, cond).select("from_id", "to_id")
     if min_shared_bands <= 1:
-        return joined.distinct()
-    return (
-        joined.groupBy("from_id", "to_id")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-        .where(F.col("n_bands") >= min_shared_bands)
-        .select("from_id", "to_id")
-    )
+        pairs = joined.distinct()
+    else:
+        pairs = (
+            joined.groupBy("from_id", "to_id")
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+            .where(F.col("n_bands") >= min_shared_bands)
+            .select("from_id", "to_id")
+        )
+    if to_df is not None:
+        return pairs
+    from .mapside import _both_orientations
+
+    return _both_orientations(pairs)

@@ -480,6 +480,23 @@ def minhash_bands_mapside(
     )
 
 
+def _both_orientations(pairs: DataFrame) -> DataFrame:
+    """(a,b) → (a,b),(b,a) via one explode — NOT a union: a union whose
+    branches project the same self-join lineage trips Catalyst's
+    UnionBase.rewriteConstraints in Spark 4.1 (see tests/conftest notes),
+    and the explode is shuffle-free."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col("from_id"), F.col("to_id")),
+            F.struct(
+                F.col("to_id").alias("from_id"),
+                F.col("from_id").alias("to_id"),
+            ),
+        )
+    )
+    return pairs.select(both.alias("p")).select("p.from_id", "p.to_id")
+
+
 def candidates_from_bands(
     f_bands: DataFrame,
     t_bands: DataFrame | None = None,
@@ -513,13 +530,20 @@ def candidates_from_bands(
     )
     cond = (F.col("band") == F.col("t_band")) & (F.col("f_bk") == F.col("t_bk"))
     if self_mode:
-        cond = cond & (F.col("from_id") != F.col("to_id"))
+        # join each unordered pair ONCE (halves the quadratic join output
+        # and the dedup/groupBy shuffle); both orientations are re-emitted
+        # after the aggregate — band counts are orientation-symmetric.
+        cond = cond & (F.col("from_id") < F.col("to_id"))
     joined = f.join(t, cond).select("from_id", "to_id")
     if min_shared_bands <= 1:
-        return joined.distinct()
-    return (
-        joined.groupBy("from_id", "to_id")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-        .where(F.col("n_bands") >= min_shared_bands)
-        .select("from_id", "to_id")
-    )
+        pairs = joined.distinct()
+    else:
+        pairs = (
+            joined.groupBy("from_id", "to_id")
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+            .where(F.col("n_bands") >= min_shared_bands)
+            .select("from_id", "to_id")
+        )
+    if not self_mode:
+        return pairs
+    return _both_orientations(pairs)
