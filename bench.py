@@ -50,6 +50,7 @@ def run_er_pipeline(spark, sf: float) -> dict:
     from polyfuzz_spark.operators.cosine_join import score_candidates_packed
     from polyfuzz_spark.operators.linkage import connected_components
     from polyfuzz_spark.operators.mapside import (
+        both_orientations,
         candidates_from_bands,
         fit_idf_mapside,
         minhash_bands_mapside,
@@ -70,8 +71,14 @@ def run_er_pipeline(spark, sf: float) -> dict:
 
     t0 = time.monotonic()
     bands = minhash_bands_mapside(docs, num_hashes=64, bands=16)
+    # emit_both=False: cosine is symmetric, so each unordered pair is
+    # scored ONCE (half the fat packed join + half the kernel work);
+    # orientations are restored on the scored rows before the per-from
+    # top-n. n_cands therefore counts KERNEL EVALUATIONS (unordered
+    # pairs) — rounds before r2's band-halving counted both orientations,
+    # i.e. the same workload reported 2x this number.
     cands = candidates_from_bands(bands, None, max_bucket_size=200,
-                                  min_shared_bands=2)
+                                  min_shared_bands=2, emit_both=False)
     cands = cands.cache()
     n_cands = cands.count()
     t_block = time.monotonic() - t0
@@ -80,9 +87,8 @@ def run_er_pipeline(spark, sf: float) -> dict:
     model = fit_idf_mapside(docs, "key")
     packed = vectorize_packed_mapside(model, docs, "key", compact=True).cache()
     packed.count()
-    pairs = score_candidates_packed(cands, packed, packed).where(
-        F.col("from_id") != F.col("to_id")
-    )
+    half = score_candidates_packed(cands, packed, packed)
+    pairs = both_orientations(half, carry=("sim",))
     matches = top_n_matches(pairs, docs, top_n=5, min_similarity=0.6).cache()
     matches.write.format("noop").mode("overwrite").save()
     t_score = time.monotonic() - t0
@@ -115,6 +121,7 @@ def run_er_pipeline(spark, sf: float) -> dict:
         "er_total_sec": round(total, 3),
         "n_docs": n_docs,
         "pairs_scored": n_cands,
+        "pairs_unit": "unordered",  # pre-r2-halving rounds reported 2x
         "pairs_per_sec": round(n_cands / (t_block + t_score), 1),
         "n_clustered": n_clustered,
         "pairwise_f1": round(f1["f1"], 4),

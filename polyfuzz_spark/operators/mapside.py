@@ -480,21 +480,29 @@ def minhash_bands_mapside(
     )
 
 
-def _both_orientations(pairs: DataFrame) -> DataFrame:
-    """(a,b) → (a,b),(b,a) via one explode — NOT a union: a union whose
-    branches project the same self-join lineage trips Catalyst's
-    UnionBase.rewriteConstraints in Spark 4.1 (see tests/conftest notes),
-    and the explode is shuffle-free."""
+def both_orientations(pairs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(a,b,…) → (a,b,…),(b,a,…) via one explode — NOT a union: a union
+    whose branches project the same self-join lineage trips Catalyst's
+    UnionBase.rewriteConstraints in Spark 4.1, and the explode is
+    shuffle-free. ``carry`` lists orientation-invariant columns (e.g. a
+    symmetric similarity) copied onto both rows."""
+    extras = [F.col(c) for c in carry]
     both = F.explode(
         F.array(
-            F.struct(F.col("from_id"), F.col("to_id")),
+            F.struct(F.col("from_id"), F.col("to_id"), *extras),
             F.struct(
                 F.col("to_id").alias("from_id"),
                 F.col("from_id").alias("to_id"),
+                *extras,
             ),
         )
     )
-    return pairs.select(both.alias("p")).select("p.from_id", "p.to_id")
+    return pairs.select(both.alias("p")).select(
+        "p.from_id", "p.to_id", *[f"p.{c}" for c in carry]
+    )
+
+
+_both_orientations = both_orientations  # internal alias kept for callers
 
 
 def candidates_from_bands(
@@ -502,9 +510,16 @@ def candidates_from_bands(
     t_bands: DataFrame | None = None,
     max_bucket_size: int | None = 2000,
     min_shared_bands: int = 1,
+    emit_both: bool = True,
 ) -> DataFrame:
     """Banded equi-join → (from_id, to_id) candidates; shared with the JVM
-    band generator. Self mode when t_bands is None (diagonal excluded)."""
+    band generator. Self mode when t_bands is None (diagonal excluded).
+
+    ``emit_both=False`` (self mode only) returns each unordered pair ONCE
+    (from_id < to_id) — for symmetric scorers, which can score half the
+    pairs and restore orientations afterwards via ``both_orientations``:
+    the score stage's fat packed-vector join and the Python kernel then do
+    half the work for identical results."""
     from .blocking import _cap_buckets
 
     # materialize once: the band rows feed the bucket-size dimension AND
@@ -544,6 +559,6 @@ def candidates_from_bands(
             .where(F.col("n_bands") >= min_shared_bands)
             .select("from_id", "to_id")
         )
-    if not self_mode:
+    if not self_mode or not emit_both:
         return pairs
-    return _both_orientations(pairs)
+    return both_orientations(pairs)

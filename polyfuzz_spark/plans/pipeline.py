@@ -41,6 +41,7 @@ from ..metrics import score_distribution
 from ..operators.cosine_join import score_candidates_packed
 from ..operators.linkage import connected_components, filter_edges
 from ..operators.mapside import (
+    both_orientations,
     candidates_from_bands,
     fit_idf_mapside,
     minhash_bands_mapside,
@@ -166,12 +167,30 @@ class ERPipeline:
                 docs, "key", cfg.tfidf,
                 num_hashes=cfg.num_hashes, bands=cfg.bands,
             )
+            # unordered pairs: cosine is symmetric, so each pair is scored
+            # once and orientations are restored before the per-from top-n
+            # — the scores stage's fat packed join, kernel, and checkpoint
+            # all halve
             cands = candidates_from_bands(
                 bands, None,
                 max_bucket_size=cfg.max_bucket_size,
                 min_shared_bands=cfg.min_shared_bands,
+                emit_both=False,
             )
-            self._checkpoint("candidates", cands)
+            self._checkpoint(
+                "candidates", cands,
+                extra={"pairs_convention": "unordered"},
+            )
+        else:
+            conv = json.loads(
+                self._manifest("candidates").read_text()
+            ).get("pairs_convention")
+            if conv != "unordered":
+                raise ValueError(
+                    "run_dir was checkpointed with the pre-halving ordered-"
+                    "pairs convention; resume would double-count matches — "
+                    "start a fresh run_dir"
+                )
 
         if not self.is_complete("scores"):
             model = fit_idf_mapside(docs, "key", cfg.tfidf)
@@ -184,10 +203,9 @@ class ERPipeline:
             self._checkpoint("scores", scores, sim_col="sim")
 
         if not self.is_complete("matches"):
+            scored = both_orientations(self.read("scores"), carry=("sim",))
             matches = attach_to_keys(
-                top_n_matches(
-                    self.read("scores"), docs, cfg.top_n, cfg.min_similarity
-                ),
+                top_n_matches(scored, docs, cfg.top_n, cfg.min_similarity),
                 docs,
             )
             self._checkpoint("matches", matches, sim_col="similarity")
