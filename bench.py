@@ -123,6 +123,11 @@ def run_er_pipeline(spark, sf: float) -> dict:
         "pairs_scored": n_cands,
         "pairs_unit": "unordered",  # pre-r2-halving rounds reported 2x
         "pairs_per_sec": round(n_cands / (t_block + t_score), 1),
+        # r1 counted both orientations of every pair; same-workload
+        # comparisons across rounds should use this ordered-equivalent rate
+        "ordered_equiv_pairs_per_sec": round(
+            2 * n_cands / (t_block + t_score), 1
+        ),
         "n_clustered": n_clustered,
         "pairwise_f1": round(f1["f1"], 4),
         "pairwise_precision": round(f1["precision"], 4),
@@ -160,6 +165,7 @@ def main() -> None:
         "cpus": CPUS,
         "pairs_scored": er["pairs_scored"],
         "pairs_per_sec": er["pairs_per_sec"],
+        "ordered_equiv_pairs_per_sec": er["ordered_equiv_pairs_per_sec"],
         "pairwise_f1": er["pairwise_f1"],
         "er": er,
     }

@@ -56,9 +56,7 @@ def _distinct_grams(docs: DataFrame, key_col: str, n: int,
     )
 
 
-def _jaccard_dense(
-    g: DataFrame, threshold: float, terms: list[str]
-) -> DataFrame:
+def _jaccard_dense_grams(g: DataFrame, threshold: float) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via a broadcast binary incidence
     matrix: |A∩B| for every pair is ONE matmul (n_docs × |vocab| by its
     transpose), streamed from-side against a broadcast to-side.
@@ -71,12 +69,23 @@ def _jaccard_dense(
     only ever sees pairs sharing a gram, so threshold 0 matches too).
 
     Bounded by construction: callers gate on BOTH |vocab| ≤ DENSE_MAX_VOCAB
-    and n_docs ≤ DENSE_MAX_DOCS before taking this path, so the driver
+    and n_docs ≤ DENSE_MAX_DOCS before taking this path, so the Arrow
     collect and the broadcast (uint8 incidence: n_docs × vocab bytes) are
     budget-capped, never corpus-unbounded.
+
+    ONE Arrow collect of the grouped gram lists serves both the matrix
+    build and (re-parallelized) the streamed side — the term→id map is
+    built on the driver, replacing the former vocab-collect + broadcast
+    tid-join + checkpoint + row-collect chain (4 blocking jobs → 1).
     """
-    packed = _packed_tids(g, terms).localCheckpoint(eager=True)
-    return _jaccard_dense_packed(packed, threshold)
+    pdf = (
+        g.groupBy("doc_id").agg(F.collect_list("term").alias("ts")).toPandas()
+    )
+    tid: dict[str, int] = {}
+    pdf["ts"] = [
+        [tid.setdefault(t, len(tid)) for t in row] for row in pdf["ts"]
+    ]
+    return _jaccard_dense_pdf(g.sparkSession, pdf, threshold)
 
 
 def _vocab_if_small(g: DataFrame) -> list[str] | None:
@@ -110,32 +119,38 @@ def _packed_tids(g: DataFrame, terms: list[str]) -> DataFrame:
 
 
 def _jaccard_dense_packed(packed: DataFrame, threshold: float) -> DataFrame:
-    """Dense incidence-matmul core over pre-packed (doc_id, ts) rows; the
-    ONE materialized table feeds the driver-side matrix build AND the
-    streamed mapInPandas side."""
+    """Dense incidence-matmul core over pre-packed (doc_id, ts) rows."""
+    return _jaccard_dense_pdf(
+        packed.sparkSession, packed.toPandas(), threshold
+    )
+
+
+def _jaccard_dense_pdf(spark, pdf, threshold: float) -> DataFrame:
+    """Matmul core over DRIVER-held packed rows (pandas: doc_id int64,
+    ts list[int]) — bounded by the DENSE_MAX gates at every call site.
+    The one pandas table feeds the broadcast matrix build AND, via an
+    Arrow createDataFrame (evenly sliced — no shuffle, no AQE input-size
+    coalescing to dodge), the streamed mapInPandas side."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    spark = packed.sparkSession
-    rows = packed.collect()
-    n_terms = max((max(r["ts"]) + 1 for r in rows if r["ts"]), default=0)
-    ids = np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
-    pos = {d: i for i, d in enumerate(ids)}
+    pdf = pdf.assign(doc_id=pdf["doc_id"].astype("int64"))
+    order = np.argsort(pdf["doc_id"].to_numpy())
+    ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+    ts_rows = pdf["ts"].to_numpy()[order]
+    n_terms = 1 + max(
+        (max(ts) for ts in ts_rows if len(ts)), default=-1
+    )
     mat = np.zeros((len(ids), n_terms), dtype=np.uint8)
-    for r in rows:
-        mat[pos[r["doc_id"]], np.asarray(r["ts"], dtype=np.int64)] = 1
+    for i, ts in enumerate(ts_rows):
+        mat[i, np.asarray(ts, dtype=np.int64)] = 1
     sizes = mat.sum(axis=1, dtype=np.int64)
     bc = spark.sparkContext.broadcast((ids, mat, sizes))
-    # the groupBy behind ``packed`` leaves a byte-tiny shuffle output that
-    # AQE coalesces to ONE partition — which would serialize the matmul
-    # kernel onto a single task. Spread the streamed side explicitly
-    # (~≥32 docs per batch keeps the BLAS calls wide).
-    n_part = max(
-        1, min(spark.sparkContext.defaultParallelism, len(ids) // 32)
+    streamed = spark.createDataFrame(
+        pdf[["doc_id", "ts"]], schema="doc_id long, ts array<int>"
     )
-    packed = packed.repartition(n_part)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         to_ids, to_u8, to_sz = bc.value
@@ -170,7 +185,7 @@ def _jaccard_dense_packed(packed: DataFrame, threshold: float) -> DataFrame:
                 {"from_id": out_f, "to_id": out_t, "jaccard_milli": out_j}
             )
 
-    return packed.mapInPandas(
+    return streamed.mapInPandas(
         gen, schema="from_id long, to_id long, jaccard_milli long"
     )
 
@@ -178,6 +193,29 @@ def _jaccard_dense_packed(packed: DataFrame, threshold: float) -> DataFrame:
 DENSE_MAX_VOCAB = 2048
 DENSE_MAX_DOCS = 50_000
 DENSE_MAX_SETS = 50_000
+
+
+def _tiny_vocab_route(
+    g: DataFrame, threshold: float
+) -> tuple[DataFrame | None, DataFrame]:
+    """Adaptive routing gate shared by ``ngram_jaccard_pairs`` and
+    ``minhash_near_dups``: ONE aggregation job over the gram table decides
+    the route (|vocab| and gram-bearing doc count together — the doc count
+    is exactly what bounds the dense route's Arrow collect). Returns
+    ``(result, g)``: ``result`` is the finished pair DataFrame for the
+    tiny-vocab routes, or None with ``g`` eagerly checkpointed for the
+    caller's large-vocab plan (which consumes it from multiple sides)."""
+    nv, nd = g.agg(
+        F.countDistinct("term"), F.countDistinct("doc_id")
+    ).first()
+    if nv <= DENSE_MAX_VOCAB:
+        if nd <= DENSE_MAX_DOCS:
+            return _jaccard_dense_grams(g, threshold), g
+        g = g.localCheckpoint(eager=True)
+        terms = _vocab_if_small(g)
+        assert terms is not None  # nv ≤ DENSE_MAX_VOCAB above
+        return _jaccard_distinct_sets(g, threshold, terms), g
+    return None, g.localCheckpoint(eager=True)
 
 
 def _jaccard_distinct_sets(g: DataFrame, threshold: float,
@@ -214,10 +252,10 @@ def _jaccard_distinct_sets(g: DataFrame, threshold: float,
             "use ngram_jaccard_pairs(max_df=...) for an approximate join, "
             "or raise dedup.DENSE_MAX_SETS if the set matrix fits memory"
         )
+    # _jaccard_dense_packed collects its input eagerly (Arrow toPandas),
+    # so the rep projection needs no checkpoint of its own
     rep_pairs = _jaccard_dense_packed(
-        sets.select(F.col("rep").alias("doc_id"), "ts")
-        .localCheckpoint(eager=True),
-        threshold,
+        sets.select(F.col("rep").alias("doc_id"), "ts"), threshold
     )
     n_part = spark.sparkContext.defaultParallelism * 4
     m_from = sets.select(
@@ -274,16 +312,13 @@ def ngram_jaccard_pairs(
     distinct-gram-set reduction (exact, matmul over distinct sets only);
     large vocab → the gram join (use ``max_df`` to tame hot grams). All
     routes produce identical rows where they are exact."""
-    # materialize the gram explode ONCE: the routing gate plus every route
-    # (pack, sizes, both join sides) would otherwise re-run it per consumer
-    g = _distinct_grams(docs, key_col, n).localCheckpoint(eager=True)
-    terms = _vocab_if_small(g)
-    if terms is not None:
-        # doc gate from the raw table count (no gram explode) — counting
-        # gramless docs too only makes the gate more conservative
-        if docs.count() <= DENSE_MAX_DOCS:
-            return _jaccard_dense(g, threshold, terms)
-        return _jaccard_distinct_sets(g, threshold, terms)
+    routed, g = _tiny_vocab_route(
+        _distinct_grams(docs, key_col, n), threshold
+    )
+    if routed is not None:
+        return routed
+    # large vocab: g arrives eagerly checkpointed — sizes and both join
+    # sides below would otherwise re-run the gram explode per consumer
     if max_df:
         hot = g.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
             F.col("df") > max_df
@@ -339,14 +374,13 @@ def minhash_near_dups(
     contract): the incidence matmul when the corpus fits the dense budget,
     the distinct-gram-set reduction when it doesn't. Only large-vocab
     corpora run banded LSH + exact verify."""
-    # one materialized gram explode serves the routing gate, the dense
-    # routes, and all three verify consumers (sizes + both join sides)
-    g0 = _distinct_grams(docs, key_col, n).localCheckpoint(eager=True)
-    terms = _vocab_if_small(g0)
-    if terms is not None:
-        if docs.count() <= DENSE_MAX_DOCS:
-            return _jaccard_dense(g0, threshold, terms)
-        return _jaccard_distinct_sets(g0, threshold, terms)
+    routed, g0 = _tiny_vocab_route(
+        _distinct_grams(docs, key_col, n), threshold
+    )
+    if routed is not None:
+        return routed
+    # large vocab: g0 arrives eagerly checkpointed — it feeds all three
+    # verify consumers below (sizes + both join sides)
     cfg = TfidfConfig(n_gram_range=(n, n), clean_string=False,
                       remove_space_ngrams=False)
     cands = minhash_candidates(
