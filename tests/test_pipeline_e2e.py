@@ -6,6 +6,8 @@ content invariant."""
 import json
 import shutil
 
+import pytest
+
 from polyfuzz_spark.metrics import pairwise_f1
 from polyfuzz_spark.plans.pipeline import ERConfig, ERPipeline
 from polyfuzz_spark.sources.corpus import (
@@ -56,6 +58,27 @@ def test_pipeline_f1_and_resume(spark, tmp_path):
     # manifests carry lineage: row counts + score distribution
     mf = json.loads((pipe._manifest("scores")).read_text())
     assert mf["rows"] > 0 and "score_distribution" in mf
+
+
+def test_resume_refuses_ordered_pairs_run_dir(spark, tmp_path):
+    """A run_dir checkpointed before the unordered-pairs convention (its
+    candidates manifest lacks pairs_convention) must refuse to resume —
+    re-emitting orientations over already-ordered pairs would double-count
+    every match."""
+    run_dir = str(tmp_path / "er")
+    corpus = generate_corpus(spark, n_entities=60, seed=42)
+    pipe = ERPipeline(spark, run_dir, CFG)
+    pipe.run(corpus)
+
+    mf_path = pipe._manifest("candidates")
+    mf = json.loads(mf_path.read_text())
+    del mf["pairs_convention"]
+    mf_path.write_text(json.dumps(mf))
+    for stage in ("scores", "matches", "clusters"):
+        shutil.rmtree(f"{run_dir}/{stage}")
+        pipe._manifest(stage).unlink()
+    with pytest.raises(ValueError, match="ordered"):
+        ERPipeline(spark, run_dir, CFG).run(corpus=None)
 
 
 def test_sink_selection_parquet_vs_iceberg(spark, tmp_path):
