@@ -29,9 +29,17 @@ def get_spark(
     ``local[N]``.
     """
     cpus = cpus or DEFAULT_CPUS
+    builder = SparkSession.builder
+    # under spark-submit the driver JVM is already up (the Py4J gateway
+    # env is set) and the master comes from --master / cluster conf —
+    # overriding it here would silently turn a cluster submit into
+    # local mode. Only plain-python launches pick the local default.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(
+            os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+        )
     builder = (
-        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
