@@ -204,17 +204,29 @@ def _tiny_vocab_route(
     is exactly what bounds the dense route's Arrow collect). Returns
     ``(result, g)``: ``result`` is the finished pair DataFrame for the
     tiny-vocab routes, or None with ``g`` eagerly checkpointed for the
-    caller's large-vocab plan (which consumes it from multiple sides)."""
+    caller's large-vocab plan (which consumes it from multiple sides).
+
+    The gate counts are HLL sketches (map-side-combinable; an exact
+    distinct here would shuffle the full gram table twice just to pick a
+    route). Approximate routing is SAFE: every route emits identical rows,
+    and the budgets are soft — a few-percent undershoot widens the dense
+    matrix or the Arrow collect by the same few percent, it does not break
+    them. The one hazard is the distinct-set route's term-id map, which
+    needs the EXACT vocabulary ≤ its cap — re-checked by
+    ``_vocab_if_small`` (bounded limit-collect), falling through to the
+    join path when the sketch undershot."""
     nv, nd = g.agg(
-        F.countDistinct("term"), F.countDistinct("doc_id")
+        F.approx_count_distinct("term", rsd=0.02),
+        F.approx_count_distinct("doc_id", rsd=0.02),
     ).first()
+    if nv <= DENSE_MAX_VOCAB and nd <= DENSE_MAX_DOCS:
+        return _jaccard_dense_grams(g, threshold), g
     if nv <= DENSE_MAX_VOCAB:
-        if nd <= DENSE_MAX_DOCS:
-            return _jaccard_dense_grams(g, threshold), g
         g = g.localCheckpoint(eager=True)
         terms = _vocab_if_small(g)
-        assert terms is not None  # nv ≤ DENSE_MAX_VOCAB above
-        return _jaccard_distinct_sets(g, threshold, terms), g
+        if terms is not None:
+            return _jaccard_distinct_sets(g, threshold, terms), g
+        return None, g  # sketch undershot the true vocab: join path
     return None, g.localCheckpoint(eager=True)
 
 

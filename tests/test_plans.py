@@ -96,3 +96,21 @@ def test_dedup_groupby_prunes_to_two_columns(spark):
         if "ReadSchema" in ln:
             assert "text" in ln and "doc_id" in ln
             assert "lang" not in ln and "source" not in ln
+
+
+def test_dense_jaccard_streamed_side_is_shuffle_free(spark):
+    """The dense route's matmul consumer must read its Arrow-parallelized
+    input directly — a shuffle (Exchange) before the mapInPandas would
+    mean the re-parallelized driver table got re-partitioned for nothing
+    (or worse, AQE-coalesced onto one task)."""
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.col("text").alias("key"))
+    )
+    plan = plan_of(ngram_jaccard_pairs(docs, n=3, threshold=0.7))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
