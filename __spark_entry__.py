@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  — flagship match→group pipeline on sf0.001 documents.
-queries()     — 22 entries, one per implemented operator (SURVEY.md §2 +
+queries()     — 23 entries, one per implemented operator (SURVEY.md §2 +
                 the training-data-pipeline extensions), from
                 polyfuzz_spark.queries.
-oracle_sql()  — 19 exact DuckDB twins (SimHash included: its md5-backed
+oracle_sql()  — 20 exact DuckDB twins (SimHash included: its md5-backed
                 term hash is bit-identical in DuckDB); approximate or
                 composite operators (LSH ANN, IVF ANN, WRatio) are
                 rows-only by design, with recall floors tested vs exact

@@ -533,3 +533,46 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the deduplicated corpus: transitively cluster the
+    near-dup ``pairs`` (``from_id``/``to_id`` — any of this module's pair
+    emitters), keep each cluster's minimum-id member, and return the
+    surviving ``docs`` rows with all their original columns.
+
+    This is the verb a training-data pipeline actually runs after near-dup
+    detection (the pair emitters above only *find* duplicates); the
+    reference stops at group assignments (``polyfuzz/linkage.py:5-53``) and
+    never drops rows, so min-id survivor selection is this engine's
+    documented extension.
+
+    Scale shape: clustering reuses ``linkage.connected_components``
+    (bounded driver union-find under ``SMALL_GRAPH_MAX_EDGES``, distributed
+    min-label + pointer jumping above it). The drop list holds only the
+    NON-representative members of clustered docs — at most one node per
+    pair side, already bounded by the emitters' LSH bucket caps and far
+    smaller than the corpus — and the final step is a single left_anti
+    equi-join of docs against it on ``id_col`` (no broadcast hint: AQE
+    broadcasts it when it is small, shuffles when a heavily duplicated
+    corpus makes it large).
+
+    ``id_col`` must be integral: representatives are chosen by numeric
+    minimum via zero-padded string labels (int64-wide padding keeps string
+    order == numeric order inside connected_components).
+    """
+    from .linkage import connected_components
+
+    id_type = docs.schema[id_col].dataType
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
+    edges = pairs.select(pad("from_id").alias("src"), pad("to_id").alias("dst"))
+    drops = (
+        connected_components(edges)
+        .where(F.col("key") != F.col("representative"))
+        .select(F.col("key").cast(id_type).alias(id_col))
+    )
+    return docs.join(drops, id_col, "left_anti")

@@ -328,6 +328,58 @@ ORACLE_MINHASH = ORACLE_JACCARD.replace(
 )
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized dedup — the full training-data verb: MinHash near-dup
+    pairs → transitive clusters → keep each cluster's min-id member → the
+    surviving corpus, emitted with the north-rule per-row content sha256
+    invariant (the oracle recomputes the digests independently, so survivor
+    CONTENT equality is checked, not just survivor ids)."""
+    from .operators.dedup import dedup_corpus, minhash_near_dups
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    pairs = minhash_near_dups(docs, n=3, threshold=MINHASH_T)
+    kept = dedup_corpus(docs, pairs, id_col="doc_id")
+    return kept.select(
+        "doc_id", F.sha2(F.col("key"), 256).alias("content_sha")
+    )
+
+
+# transitive closure over the exact-Jaccard ≥ MINHASH_T pair graph; docs
+# with no qualifying pair (including the length<3 docs that emit no grams)
+# survive via the LEFT JOIN
+ORACLE_DEDUP_CORPUS = f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, length(text) - 2), i -> substring(text, i, 3)))) AS term
+  FROM documents WHERE length(text) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS from_id, b.doc_id AS to_id, count(*) AS c
+  FROM g a JOIN g b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT from_id, to_id FROM inter
+  JOIN sz sa ON from_id = sa.doc_id
+  JOIN sz sb ON to_id = sb.doc_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= {MINHASH_T}
+),
+sym AS (SELECT from_id AS a, to_id AS b FROM pairs
+        UNION SELECT to_id AS a, from_id AS b FROM pairs),
+reach(v, r) AS (
+  SELECT a AS v, a AS r FROM sym
+  UNION
+  SELECT s.b AS v, reach.r FROM sym s JOIN reach ON s.a = reach.v
+),
+rep AS (SELECT v, min(r) AS r FROM reach GROUP BY v)
+SELECT d.doc_id, sha256(d.text) AS content_sha
+FROM documents d
+LEFT JOIN rep ON d.doc_id = rep.v
+WHERE rep.v IS NULL OR rep.r = d.doc_id
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dups
 
@@ -848,6 +900,7 @@ def all_queries():
         "exact_dedup_prefix": q_exact_dedup_prefix,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_corpus": q_dedup_corpus,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
         "docs_by_lang_source": q_docs_by_lang_source,
@@ -875,6 +928,7 @@ def all_oracles():
         "exact_dedup_prefix": ORACLE_EXACT_DEDUP,
         "ngram_jaccard_dups": ORACLE_JACCARD,
         "minhash_near_dups": ORACLE_MINHASH,
+        "dedup_corpus": ORACLE_DEDUP_CORPUS,
         "simhash_near_dups": ORACLE_SIMHASH,
         # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only
         "doc_stats": _oracle_doc_stats(),

@@ -168,3 +168,31 @@ def test_connected_components_empty_string_key(spark):
     out = connected_components(edges).toPandas()
     assert set(out.key) == {"", "x"}
     assert set(out.representative) == {""}
+
+
+def test_dedup_corpus_keeps_min_id_per_transitive_cluster(spark):
+    """Chain 1~2, 2~3 plus pair 10~11: survivors are each cluster's min id
+    plus every unpaired doc, with all original columns intact."""
+    from polyfuzz_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", f"s{i}") for i in (1, 2, 3, 5, 10, 11)],
+        "doc_id long, key string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "from_id long, to_id long"
+    )
+    kept = dedup_corpus(docs, pairs).toPandas().sort_values("doc_id")
+    assert list(kept.doc_id) == [1, 5, 10]
+    assert set(kept.columns) == {"doc_id", "key", "source"}
+    assert list(kept.key) == ["text 1", "text 5", "text 10"]
+
+
+def test_dedup_corpus_no_pairs_is_identity(spark):
+    from polyfuzz_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, key string"
+    )
+    pairs = spark.createDataFrame([], "from_id long, to_id long")
+    assert dedup_corpus(docs, pairs).count() == 2
