@@ -570,9 +570,22 @@ def dedup_corpus(
     id_type = docs.schema[id_col].dataType
     pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
     edges = pairs.select(pad("from_id").alias("src"), pad("to_id").alias("dst"))
-    drops = (
-        connected_components(edges)
-        .where(F.col("key") != F.col("representative"))
-        .select(F.col("key").cast(id_type).alias(id_col))
+    assignments = connected_components(edges).select(
+        F.col("key").cast(id_type).alias(id_col),
+        F.col("representative").cast(id_type).alias("rep_id"),
     )
+    return drop_non_representatives(docs, assignments, id_col, "rep_id")
+
+
+def drop_non_representatives(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    rep_col: str = "rep_doc_id",
+) -> DataFrame:
+    """The survivor half of ``dedup_corpus`` for callers that already hold
+    cluster assignments (id → representative), e.g. the checkpointed ER
+    pipeline's clusters stage: one left_anti equi-join of docs against the
+    non-representative members."""
+    drops = assignments.where(F.col(id_col) != F.col(rep_col)).select(id_col)
     return docs.join(drops, id_col, "left_anti")

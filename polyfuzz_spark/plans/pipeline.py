@@ -9,6 +9,7 @@ content invariant, and a score distribution):
     scores      exact TF-IDF cosine on candidate pairs
     matches     top-n + threshold (long matches contract)
     clusters    edge filter + iterative connected components
+    survivors   deduplicated corpus (drop non-representative members)
 
 ``run()`` skips any stage whose manifest is already complete — kill the job
 after any stage and rerun with the same run_dir to resume. The stage sink
@@ -72,7 +73,8 @@ class ERConfig:
 class ERPipeline:
     """match → select → cluster over a corpus DataFrame, checkpointed."""
 
-    STAGES = ["ingest", "candidates", "scores", "matches", "clusters"]
+    STAGES = ["ingest", "candidates", "scores", "matches", "clusters",
+              "survivors"]
 
     def __init__(self, spark: SparkSession, run_dir: str,
                  config: ERConfig | None = None):
@@ -226,6 +228,25 @@ class ERPipeline:
                 F.col("representative").cast("long").alias("rep_doc_id"),
             )
             self._checkpoint("clusters", assignments)
+
+        if not self.is_complete("survivors"):
+            # materialize the training corpus the run actually ships: every
+            # ingest row except non-representative cluster members (full
+            # original columns, content_sha256 lineage included). The drop
+            # list is the clustered minority — AQE broadcasts it.
+            from ..operators.dedup import drop_non_representatives
+
+            survivors = drop_non_representatives(
+                self.read("ingest"), self.read("clusters"),
+            )
+            self._checkpoint(
+                "survivors", survivors,
+                extra={
+                    "rows_dropped": self.read("clusters").where(
+                        F.col("doc_id") != F.col("rep_doc_id")
+                    ).count(),
+                },
+            )
 
         return {
             s: json.loads(self._manifest(s).read_text()) for s in self.STAGES

@@ -8,6 +8,8 @@ import shutil
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from polyfuzz_spark.metrics import pairwise_f1
 from polyfuzz_spark.plans.pipeline import ERConfig, ERPipeline
 from polyfuzz_spark.sources.corpus import (
@@ -39,6 +41,17 @@ def test_pipeline_f1_and_resume(spark, tmp_path):
     res = pairwise_f1(pipe.read("candidates"), labels, pipe.read("clusters"))
     assert res["f1"] >= 0.99, res
     assert res["precision"] >= 0.99, res
+
+    # survivors = ingest minus non-representative cluster members, with
+    # the original columns (content_sha256 lineage survives the drop)
+    surv = pipe.read("survivors")
+    n_ingest = pipe.read("ingest").count()
+    assert surv.count() == n_ingest - summary["survivors"]["rows_dropped"]
+    non_rep = pipe.read("clusters").where(
+        F.col("doc_id") != F.col("rep_doc_id")
+    ).select("doc_id")
+    assert surv.join(non_rep, "doc_id").count() == 0
+    assert "content_sha256" in surv.columns
 
     # resume: wipe the last two stages, rerun without the corpus — earlier
     # checkpoints must carry it; output must be identical
