@@ -59,7 +59,7 @@ def test_spark_submit_py_files_runs_pipeline(tmp_path):
     assert summary_lines, proc.stdout[-2000:]
     rows = json.loads(summary_lines[-1])
     assert set(rows) == {
-        "ingest", "candidates", "scores", "matches", "clusters"
+        "ingest", "candidates", "scores", "matches", "clusters", "survivors"
     }
     assert all(n > 0 for n in rows.values()), rows
     for stage in rows:
