@@ -77,7 +77,7 @@ NO_NESTED_LOOP = [
     "doc_stats", "docs_by_lang_source", "embedding_cosine_top3",
     "embedding_near_dups", "embedding_knn_lsh", "embedding_knn_ivf",
     "media_features", "media_frames", "top_terms", "events_hourly",
-    "user_sessions",
+    "user_sessions", "dedup_corpus",
 ]
 
 
@@ -114,3 +114,34 @@ def test_dense_jaccard_streamed_side_is_shuffle_free(spark):
     plan = plan_of(ngram_jaccard_pairs(docs, n=3, threshold=0.7))
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_survivors_anti_join_broadcasts_drop_list(spark):
+    """The pipeline's survivors stage anti-joins the full corpus against the
+    (much smaller) non-representative drop list. The drop list must land on
+    the broadcast side — a shuffle of the corpus here would re-partition
+    100 TB to subtract a few percent of rows. AQE finalizes join strategy
+    at execution, so assert on the post-run plan like the codegen test."""
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.operators.dedup import drop_non_representatives
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assignments = (
+        docs.select("doc_id")
+        .where(F.col("doc_id") < 20)
+        .withColumn(
+            "rep_doc_id",
+            (F.col("doc_id") - (F.col("doc_id") % 2)).cast("long"),
+        )
+    )
+    kept = drop_non_representatives(docs, assignments)
+    n_docs = docs.count()
+    assert kept.count() == n_docs - 10  # 10 odd ids in [0, 20) dropped
+    plan = plan_of(kept)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the corpus side must not shuffle for the join: the only exchange
+    # allowed anywhere in the plan is the broadcast one
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "Broadcast" not in ln:
+            raise AssertionError(f"corpus side shuffled: {ln}\n{plan}")
