@@ -27,6 +27,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _host_cpu() -> tuple[float, float]:
+    """(busy_cpu_seconds, steal_jiffies) machine-wide from /proc/stat.
+    BASELINE.md documents 3-8x per-query wall-clock swings on this shared
+    host at near-zero steal; a busy-CPU delta over the run is the
+    load-insensitive companion number that makes one-shot BENCH totals
+    interpretable. Returns (0, 0) where /proc/stat is unavailable."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        user, nice, system = int(parts[1]), int(parts[2]), int(parts[3])
+        irq, softirq = int(parts[6]), int(parts[7])
+        steal = int(parts[8]) if len(parts) > 8 else 0
+        hz = os.sysconf("SC_CLK_TCK")
+        return (user + nice + system + irq + softirq) / hz, steal / hz
+    except (OSError, IndexError, ValueError):
+        return 0.0, 0.0
+
+
 def _force(df) -> int:
     """Fully execute a plan (noop sink — no driver collect, no skipped stages)
     and return the row count via a cheap second action on the cached result."""
@@ -141,6 +159,8 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS,
                       shuffle_partitions=max(2 * CPUS, 16))
 
+    cpu0, steal0 = _host_cpu()
+    wall0 = time.monotonic()
     sf_val = float(SF_DIR.rstrip("/").split("sf")[-1] or 0.1)
     er = run_er_pipeline(spark, sf_val)
 
@@ -156,6 +176,8 @@ def main() -> None:
             timings[name] = round(time.monotonic() - t0, 3)
     timings["er_pipeline"] = er["er_total_sec"]
 
+    cpu1, steal1 = _host_cpu()
+    wall1 = time.monotonic()
     out = {
         "metric": "headline_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -163,6 +185,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "cpus": CPUS,
+        # machine-wide busy-CPU + steal over the whole run: the
+        # load-insensitive companion to the wall-clock total on this
+        # shared host (see BASELINE.md "variance envelope")
+        "host_cpu_sec": round(cpu1 - cpu0, 1),
+        "host_steal_frac": round(
+            (steal1 - steal0)
+            / max((wall1 - wall0) * (os.cpu_count() or 1), 1e-9),
+            4,
+        ),
         "pairs_scored": er["pairs_scored"],
         "pairs_per_sec": er["pairs_per_sec"],
         "ordered_equiv_pairs_per_sec": er["ordered_equiv_pairs_per_sec"],
