@@ -120,9 +120,26 @@ class ERPipeline:
                     extra: dict | None = None) -> DataFrame:
         self._write_stage(stage, df)
         back = self.read(stage)
+        # per-partition lineage: row count per output file (parquet) or per
+        # scan partition (sinks that don't expose file names), in ONE
+        # map-side-combined job whose output is bounded by the file count —
+        # the stage total is its sum, so this replaces the plain count job.
+        per_part = (
+            back.groupBy(F.input_file_name().alias("part")).count().collect()
+        )
+        if per_part and all(r["part"] == "" for r in per_part):
+            per_part = (
+                back.groupBy(
+                    F.spark_partition_id().cast("string").alias("part")
+                ).count().collect()
+            )
+        lineage = sorted(
+            (r["part"].rsplit("/", 1)[-1] or r["part"], int(r["count"]))
+            for r in per_part
+        )
         manifest = {
             "stage": stage,
-            "rows": back.count(),
+            "rows": sum(c for _, c in lineage),
             "complete": True,
             "written_at": time.time(),
             "schema": back.schema.simpleString(),
@@ -132,6 +149,15 @@ class ERPipeline:
                 else str(self._path(stage))
             ),
         }
+        if len(lineage) <= 4096:
+            manifest["partition_lineage"] = dict(lineage)
+        else:  # manifest stays human-sized at any scale; counts still exact
+            counts = [c for _, c in lineage]
+            manifest["partition_lineage_summary"] = {
+                "partitions": len(counts),
+                "rows_min": min(counts),
+                "rows_max": max(counts),
+            }
         if sim_col is not None:
             dist = score_distribution(back, sim_col).collect()[0].asDict()
             dist["p50_p90_p99"] = list(dist["p50_p90_p99"] or [])

@@ -68,9 +68,13 @@ def test_pipeline_f1_and_resume(spark, tmp_path):
     )
     assert before == after
 
-    # manifests carry lineage: row counts + score distribution
+    # manifests carry lineage: row counts + score distribution + exact
+    # per-partition (per output file) row counts summing to the total
     mf = json.loads((pipe._manifest("scores")).read_text())
     assert mf["rows"] > 0 and "score_distribution" in mf
+    lineage = mf["partition_lineage"]
+    assert sum(lineage.values()) == mf["rows"]
+    assert all(p.endswith(".parquet") for p in lineage)
 
 
 def test_resume_refuses_ordered_pairs_run_dir(spark, tmp_path):
