@@ -162,7 +162,19 @@ def main() -> None:
     cpu0, steal0 = _host_cpu()
     wall0 = time.monotonic()
     sf_val = float(SF_DIR.rstrip("/").split("sf")[-1] or 0.1)
-    er = run_er_pipeline(spark, sf_val)
+    # min-of-2 protocol: BASELINE.md's variance envelope documents 3-8x
+    # per-query wall-clock swings on this shared host at near-zero steal
+    # (identical code, back-to-back runs: 376.5/226.8/145.0 s totals). A
+    # one-shot number is therefore mostly a host-load sample; min-of-2
+    # bounds the noise at the cost of one extra pass and is labeled in the
+    # output ("protocol"). Disable with SPARK_GRAFT_BENCH_RUNS=1.
+    # scaling-efficiency legs (BENCH_ONLY=er) stay single-shot: their
+    # protocol is externally-driven best-of-3 COLD runs per parallelism
+    default_runs = "1" if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "er" \
+        else "2"
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", default_runs))
+    ers = [run_er_pipeline(spark, sf_val) for _ in range(n_runs)]
+    er = min(ers, key=lambda e: e["er_total_sec"])
 
     timings: dict[str, float] = {}
     # SPARK_GRAFT_BENCH_ONLY=er → ER pipeline only (the scaling-efficiency
@@ -171,9 +183,13 @@ def main() -> None:
         from polyfuzz_spark.queries import all_queries
 
         for name, fn in all_queries().items():
-            t0 = time.monotonic()
-            _force(fn(spark, SF_DIR))
-            timings[name] = round(time.monotonic() - t0, 3)
+            best = None
+            for _ in range(n_runs):
+                t0 = time.monotonic()
+                _force(fn(spark, SF_DIR))
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
     timings["er_pipeline"] = er["er_total_sec"]
 
     cpu1, steal1 = _host_cpu()
@@ -182,6 +198,7 @@ def main() -> None:
         "metric": "headline_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "protocol": f"min_of_{n_runs}_runs_per_query",
         "queries": timings,
         "sf": sf_val,
         "cpus": CPUS,
