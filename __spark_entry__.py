@@ -1,14 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  — flagship match→group pipeline on sf0.001 documents.
-queries()     — 23 entries, one per implemented operator (SURVEY.md §2 +
+queries()     — 24 entries, one per implemented operator (SURVEY.md §2 +
                 the training-data-pipeline extensions), from
                 polyfuzz_spark.queries.
-oracle_sql()  — 20 exact DuckDB twins (SimHash included: its md5-backed
-                term hash is bit-identical in DuckDB); approximate or
-                composite operators (LSH ANN, IVF ANN, WRatio) are
-                rows-only by design, with recall floors tested vs exact
-                twins.
+oracle_sql()  — 21 exact DuckDB twins (SimHash included: its md5-backed
+                term hash is bit-identical in DuckDB; the IVF machinery via
+                its full-probe twin, which degenerates to exact brute
+                force). Approximate or composite operators (probe-limited
+                LSH/IVF ANN, WRatio) are rows-only by design, with recall
+                floors tested vs exact twins.
 """
 
 from __future__ import annotations

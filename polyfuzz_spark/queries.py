@@ -590,6 +590,22 @@ def q_embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe == n_cells: every query probes every cell, so the
+    candidate set is ALL (query, corpus) pairs and the operator degenerates
+    to exact brute force — the recall loss in q_embedding_knn_ivf comes
+    ONLY from probing, never from the cell assignment / candidate join /
+    re-scoring machinery. That machinery therefore gets an EXACT oracle
+    (the brute-force top-3 SQL), closing the oracle gap for the IVF family:
+    only the probe-limited variants stay rows-only."""
+    from .operators.knn import ivf_cosine_topk
+
+    e = _embs(spark, sf_dir)
+    return ivf_cosine_topk(
+        e, e, k=3, n_cells=16, n_probe=16, exclude_self=True
+    ).withColumnRenamed("rank", "rnk")
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed; schema/batch shape real)
 # --------------------------------------------------------------------------
@@ -908,6 +924,7 @@ def all_queries():
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_knn_lsh": q_embedding_knn_lsh,
         "embedding_knn_ivf": q_embedding_knn_ivf,
+        "embedding_knn_ivf_fullprobe": q_embedding_knn_ivf_fullprobe,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "wratio_top1": q_wratio_top1,
@@ -930,7 +947,9 @@ def all_oracles():
         "minhash_near_dups": ORACLE_MINHASH,
         "dedup_corpus": ORACLE_DEDUP_CORPUS,
         "simhash_near_dups": ORACLE_SIMHASH,
-        # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only
+        # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only;
+        # the IVF machinery itself is oracle-exact via the full-probe twin
+        "embedding_knn_ivf_fullprobe": ORACLE_EMB_TOP3,
         "doc_stats": _oracle_doc_stats(),
         "docs_by_lang_source": _oracle_docs_by_lang_source(),
         "embedding_cosine_top3": ORACLE_EMB_TOP3,
