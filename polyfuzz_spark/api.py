@@ -95,7 +95,8 @@ class PolyFuzzSpark:
               group_all_strings: bool = False) -> "PolyFuzzSpark":
         """Cluster the matched To-strings (reference polyfuzz.py:331-373).
 
-        Distinct non-null To (or From∪To when group_all_strings) →
+        Distinct non-null To (or From when group_all_strings, matching
+        reference polyfuzz.py:468-471) →
         self-match with the grouper → edges sim > threshold → transitive
         closure (documented upgrade over the reference's order-dependent
         single pass, see operators/linkage.py) → Group column.
