@@ -597,7 +597,11 @@ def q_embedding_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     ONLY from probing, never from the cell assignment / candidate join /
     re-scoring machinery. That machinery therefore gets an EXACT oracle
     (the brute-force top-3 SQL), closing the oracle gap for the IVF family:
-    only the probe-limited variants stay rows-only."""
+    only the probe-limited variants stay rows-only.
+
+    Correctness twin, NOT a scale path: full probe is brute force by
+    construction (the candidate join emits all n² pairs); production ANN is
+    q_embedding_knn_ivf / q_embedding_knn_lsh with bounded probe fan-out."""
     from .operators.knn import ivf_cosine_topk
 
     e = _embs(spark, sf_dir)
