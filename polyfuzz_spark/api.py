@@ -27,6 +27,74 @@ def lists_to_df(spark: SparkSession, strings: Iterable[str],
     return df.repartition(n_partitions) if n_partitions else df
 
 
+def score_pairs(
+    pairs: DataFrame,
+    scorer: str = "WRatio",
+    a_col: str = "key_a",
+    b_col: str = "key_b",
+    cfg=None,
+) -> DataFrame:
+    """Score EXPLICIT string pairs — the labeled-pair evaluation verb: a
+    pair table (e.g. labeled candidate pairs at the same blocking key) gains
+    a ``similarity`` column in [0, 1] (rounded to 3 decimals), all other
+    columns untouched. The reference has no such verb (its evaluation runs
+    through match tables); this is the engine verb that feeds pairwise
+    F1-style checks on pre-paired data.
+
+    ``scorer``: any ``scorers.kernels`` name (``"WRatio"``, ``"ratio"``,
+    ``"jaro_winkler"``, ``"levenshtein_sim"``, …) — one vectorized pandas
+    UDF over Arrow batches — or ``"TF-IDF"``: char-n-gram cosine under a
+    model fitted on the pair table's DISTINCT strings (documented
+    divergence from ``match()``, which fits on the multiset union of its
+    two input lists; a pair table has no natural multiset). Gram-less
+    strings (shorter than the n-gram window after cleaning) score 0.0
+    under TF-IDF.
+
+    Scale shape (TF-IDF): distinct strings → map-side fit + packed
+    vectorize → ``score_candidates_packed`` over string-hash ids — the same
+    blocked-scoring kernel as the ER pipeline; no crossJoin, no driver
+    collect beyond the ≤|vocab| IDF table.
+    """
+    if scorer in ("TF-IDF", "TFIDF"):
+        from .operators.cosine_join import score_candidates_packed
+        from .operators.mapside import (
+            fit_idf_mapside,
+            vectorize_packed_mapside,
+        )
+
+        strings = (
+            pairs.select(F.col(a_col).alias("key"))
+            .unionByName(pairs.select(F.col(b_col).alias("key")))
+            .where(F.col("key").isNotNull())
+            .distinct()
+        )
+        docs = strings.select(F.xxhash64("key").alias("doc_id"), "key")
+        model = fit_idf_mapside(docs, "key", cfg)
+        packed = vectorize_packed_mapside(model, docs, "key").localCheckpoint(
+            eager=True
+        )
+        cand = pairs.select(
+            F.xxhash64(a_col).alias("from_id"),
+            F.xxhash64(b_col).alias("to_id"),
+        ).distinct()
+        scored = score_candidates_packed(cand, packed, packed)
+        return (
+            pairs.withColumn("from_id", F.xxhash64(a_col))
+            .withColumn("to_id", F.xxhash64(b_col))
+            .join(scored, ["from_id", "to_id"], "left")
+            .withColumn(
+                "similarity", F.round(F.coalesce("sim", F.lit(0.0)), 3)
+            )
+            .drop("from_id", "to_id", "sim")
+        )
+    from .scorers.editdistance import pair_scorer_udf, validate_kernel
+
+    udf = pair_scorer_udf(validate_kernel(scorer))
+    return pairs.withColumn(
+        "similarity", F.round(udf(F.col(a_col), F.col(b_col)) / 100.0, 3)
+    )
+
+
 def _default_matcher(method, top_n: int) -> BaseSparkMatcher:
     # dispatch table mirrors reference polyfuzz.py:123-152
     if isinstance(method, BaseSparkMatcher):

@@ -186,6 +186,20 @@ def vectorize_packed_mapside(
         from ..functions.pygrams import doc_grams_py
 
         vocab_l, cfg, compact_l, vpack_l = bc.value
+
+        def out_pdf(ids, ts, ws):
+            # explicit dtypes: a batch whose docs are ALL gram-less (or out
+            # of vocabulary) yields zero rows, and pandas would type the
+            # empty t/w columns float64 — Arrow then refuses the
+            # float64→list<int> conversion (NumPyConverter) even at 0 rows
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "t": pd.Series(ts, dtype="object"),
+                    "w": pd.Series(ws, dtype="object"),
+                }
+            )
+
         for pdf in batches:
             ids, ts, ws = [], [], []
             if vpack_l is not None:
@@ -233,7 +247,7 @@ def vectorize_packed_mapside(
                             ws.append(
                                 wts.astype(np.float32) if compact_l else wts
                             )
-                yield pd.DataFrame({"doc_id": ids, "t": ts, "w": ws})
+                yield out_pdf(ids, ts, ws)
                 continue
             for did, key in zip(pdf[id_col], pdf[key_col]):
                 # integer tf counts × idf — same product as the relational
@@ -260,7 +274,7 @@ def vectorize_packed_mapside(
                 ids.append(did)
                 ts.append(tids.astype(np.int32))
                 ws.append(wts.astype(np.float32) if compact_l else wts)
-            yield pd.DataFrame({"doc_id": ids, "t": ts, "w": ws})
+            yield out_pdf(ids, ts, ws)
 
     w_type = "float" if compact else "double"
     return ensure_min_partitions(docs.select(id_col, key_col)).mapInPandas(
