@@ -183,6 +183,113 @@ SELECT v AS doc_id, min(r) AS rep_doc_id FROM reach GROUP BY v
 
 
 # --------------------------------------------------------------------------
+# fit/transform production path (S4/S5 lifecycle, reference
+# polyfuzz.py:156-242 + _tfidf.py:108-117 re_train=False)
+# --------------------------------------------------------------------------
+TRANSFORM_MIN_SIM = 0.3
+
+
+def _grams_sql(src: str) -> str:
+    """DuckDB char-3-gram extraction over a CTE ``src(id, s)`` (cleaned
+    text), space-grams removed — the oracle twin of functions/ngrams."""
+    return f"""SELECT id, g AS term
+  FROM {src}, UNNEST(
+    CASE WHEN length(s) >= 3 THEN
+      list_filter(list_transform(generate_series(1, length(s) - 2),
+                                 i -> substring(s, i, 3)),
+                  g -> NOT contains(g, ' '))
+    ELSE [] END) AS t(g)"""
+
+
+def q_tfidf_transform_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit once, transform new strings (the production serving path):
+    vocabulary + IDF are fit on the to-corpus plus the fit-time from-corpus
+    (reference fit on ``to_list + from_list``, _tfidf.py:109), then a NEW
+    from-set is vectorized with the FITTED vocabulary — unseen n-grams drop
+    via the inner idf join, L2 norm taken after the drop (sklearn
+    transform-then-normalize) — and matched two-list (no self-exclusion)
+    against the precomputed to-side vectors.
+
+    Scoring is the dense broadcast matmul (documents' trigram vocab is
+    tiny); its ``fits_broadcast`` gate refuses over-budget corpora, where
+    ``TFIDFMatcher``'s auto-blocking fit/transform covers the same verb
+    (tests/test_save_load.py round-trips that path)."""
+    from .matchers import _tagged
+    from .operators.dense_cosine import tfidf_dense_topk
+    from .operators.tfidf import TfidfConfig, fit_tfidf, vectorize
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    to_df = docs.where(F.col("doc_id") % 3 == 0)
+    fit_from = docs.where(F.col("doc_id") % 3 == 1)
+    new_from = docs.where(F.col("doc_id") % 3 == 2)
+    model = fit_tfidf(
+        _tagged(to_df, "t:").unionByName(_tagged(fit_from, "f:")),
+        "key",
+        TfidfConfig((3, 3), True, True),
+    )
+    ranked = tfidf_dense_topk(
+        vectorize(model, new_from, "key"),
+        vectorize(model, to_df, "key"),
+        top_n=1,
+        min_similarity=TRANSFORM_MIN_SIM,
+    )
+    base = new_from.select(F.col("doc_id").alias("from_id"))
+    return base.join(ranked.where(F.col("rnk") == 1), "from_id", "left").select(
+        "from_id",
+        "to_id",
+        F.coalesce("sim_milli", F.lit(0)).alias("sim_milli"),
+    )
+
+
+ORACLE_TFIDF_TRANSFORM = f"""
+WITH
+tod  AS (SELECT doc_id AS id, {clean_string_sql('text')} AS s
+         FROM documents WHERE doc_id % 3 = 0),
+fitf AS (SELECT doc_id AS id, {clean_string_sql('text')} AS s
+         FROM documents WHERE doc_id % 3 = 1),
+newf AS (SELECT doc_id AS id, {clean_string_sql('text')} AS s
+         FROM documents WHERE doc_id % 3 = 2),
+tog  AS ({_grams_sql('tod')}),
+fitg AS ({_grams_sql('fitf')}),
+newg AS ({_grams_sql('newf')}),
+totf  AS (SELECT id, term, count(*) AS tf FROM tog  GROUP BY 1, 2),
+fittf AS (SELECT id, term, count(*) AS tf FROM fitg GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM (
+            SELECT id, term FROM totf
+            UNION ALL SELECT id, term FROM fittf) GROUP BY 1),
+nn AS (SELECT (SELECT count(*) FROM tod) + (SELECT count(*) FROM fitf) AS n),
+idf AS (SELECT term, ln((1.0 + nn.n) / (1.0 + dfreq.df)) + 1.0 AS idf
+        FROM dfreq, nn),
+tow AS (SELECT totf.id, totf.term, totf.tf * idf.idf AS w
+        FROM totf JOIN idf USING (term)),
+tonrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM tow GROUP BY 1),
+tovec AS (SELECT tow.id, tow.term, tow.w / tonrm.nrm AS weight
+          FROM tow JOIN tonrm USING (id)),
+newtf AS (SELECT id, term, count(*) AS tf FROM newg GROUP BY 1, 2),
+neww AS (SELECT newtf.id, newtf.term, newtf.tf * idf.idf AS w
+         FROM newtf JOIN idf USING (term)),
+newnrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM neww GROUP BY 1),
+newvec AS (SELECT neww.id, neww.term, neww.w / newnrm.nrm AS weight
+           FROM neww JOIN newnrm USING (id)),
+pairs AS (
+  SELECT a.id AS from_id, b.id AS to_id,
+         {MILLI.format(x='sum(a.weight * b.weight)')} AS sim_milli
+  FROM newvec a JOIN tovec b ON a.term = b.term
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT from_id, to_id, sim_milli,
+         row_number() OVER (PARTITION BY from_id
+                            ORDER BY sim_milli DESC, to_id) AS rnk
+  FROM pairs WHERE sim_milli >= {int(TRANSFORM_MIN_SIM * 1000)}
+)
+SELECT n.id AS from_id, b.to_id AS to_id,
+       COALESCE(b.sim_milli, 0) AS sim_milli
+FROM newf n LEFT JOIN best b ON n.id = b.from_id AND b.rnk = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Edit-distance top-1 (J5/J6, K2/K3) on short key slices
 # --------------------------------------------------------------------------
 def _lev_slices(spark, sf_dir):
@@ -914,6 +1021,7 @@ FROM sessions GROUP BY 1, 2
 def all_queries():
     return {
         "tfidf_match_top1": q_tfidf_match_top1,
+        "tfidf_transform_top1": q_tfidf_transform_top1,
         "cluster_assignments": q_cluster_assignments,
         "levenshtein_top1": q_levenshtein_top1,
         "jaro_winkler_top1": q_jaro_winkler_top1,
@@ -943,6 +1051,7 @@ def all_queries():
 def all_oracles():
     return {
         "tfidf_match_top1": ORACLE_TFIDF_TOP1,
+        "tfidf_transform_top1": ORACLE_TFIDF_TRANSFORM,
         "cluster_assignments": ORACLE_CLUSTERS,
         "levenshtein_top1": ORACLE_LEV_TOP1,
         "jaro_winkler_top1": ORACLE_JW_TOP1,
