@@ -227,9 +227,14 @@ def q_tfidf_transform_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         TfidfConfig((3, 3), True, True),
     )
+    # the dense scorer makes several passes over each vector lineage (vocab
+    # union, counts, matrix collect, stream); without truncation every pass
+    # re-runs clean+shingle+fit-join — checkpoint the (vocab-bounded) IDF
+    # and both vector tables once
+    model.idf = model.idf.localCheckpoint(eager=True)
     ranked = tfidf_dense_topk(
-        vectorize(model, new_from, "key"),
-        vectorize(model, to_df, "key"),
+        vectorize(model, new_from, "key").localCheckpoint(eager=True),
+        vectorize(model, to_df, "key").localCheckpoint(eager=True),
         top_n=1,
         min_similarity=TRANSFORM_MIN_SIM,
     )

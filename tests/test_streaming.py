@@ -250,3 +250,76 @@ def test_stream_resume_is_exactly_once(spark, fitted, tmp_path):
     stream_match_parquet(*args, top_n=1).awaitTermination(120)
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2 > 0
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming exact dedup (streaming/dedup.py)
+# ---------------------------------------------------------------------------
+def test_streaming_dedup_stream_vs_batch(spark, tmp_path):
+    """First-seen row per distinct content must survive; duplicates inside
+    a micro-batch AND across micro-batches must drop through state; the
+    drained stream equals the batch twin under ordered ingest."""
+    from polyfuzz_spark.streaming.dedup import (
+        dedup_batch,
+        stream_dedup_parquet,
+    )
+
+    schema = "doc_id long, text string"
+    # batch 1: in-batch duplicate ("alpha" twice -> min doc_id 0 wins)
+    f1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha"), (3, "gamma")], schema
+    )
+    # batch 2: cross-batch duplicates of batch 1 plus one new content
+    f2 = spark.createDataFrame(
+        [(4, "beta"), (5, "delta"), (6, "gamma"), (7, "alpha")], schema
+    )
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    f1.coalesce(1).write.parquet(in_dir)
+    f2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = stream_dedup_parquet(
+        spark, in_dir, schema, out_dir, ck_dir, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    batch = dedup_batch(
+        spark.read.schema(schema).parquet(in_dir)
+    ).toPandas()
+    cols = ["sha", "doc_id", "text"]
+    g = got[cols].sort_values("doc_id").reset_index(drop=True)
+    b = batch[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, b)
+    # the four distinct contents survive with their min doc_ids
+    assert sorted(g.doc_id) == [0, 1, 3, 5]
+
+
+def test_streaming_dedup_resume_exactly_once(spark, tmp_path):
+    """Re-running with the same checkpoint must not re-emit survivors, and
+    new files arriving after resume still dedup against the stored state."""
+    from polyfuzz_spark.streaming.dedup import stream_dedup_parquet
+
+    schema = "doc_id long, text string"
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], schema
+    ).coalesce(1).write.parquet(in_dir)
+    args = (spark, in_dir, schema, out_dir, ck_dir)
+    stream_dedup_parquet(*args).awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 2
+    # resume with no new input: nothing new
+    stream_dedup_parquet(*args).awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 2
+    # a later file: its duplicate drops via the RESTORED state, its new
+    # content is admitted
+    spark.createDataFrame(
+        [(9, "alpha"), (10, "epsilon")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_dedup_parquet(*args).awaitTermination(120)
+    final = spark.read.parquet(out_dir).toPandas()
+    assert sorted(final.doc_id) == [0, 1, 10]
