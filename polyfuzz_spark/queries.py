@@ -310,7 +310,10 @@ def _lev_slices(spark, sf_dir):
 
 def q_levenshtein_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     f, t = _lev_slices(spark, sf_dir)
-    pairs = f.crossJoin(t).select(
+    # spread before the O(|fk|·|tk|) scorer: the crossJoin inherits the
+    # tiny from-side's single partition
+    n_part = spark.sparkContext.defaultParallelism * 2
+    pairs = f.crossJoin(t).repartition(n_part).select(
         "from_id", "to_id", F.levenshtein("fk", "tk").alias("lev")
     )
     w = Window.partitionBy("from_id").orderBy(F.asc("lev"), F.asc("to_id"))
@@ -851,11 +854,16 @@ def q_editdistance_top1_normalized(spark: SparkSession, sf_dir: str) -> DataFram
     sim = 1.0 - F.levenshtein("fk", "tk") / F.greatest(
         F.length("fk"), F.length("tk")
     )
-    pairs = f.crossJoin(t).select("from_id", "to_id", sim.alias("sim"))
+    n_part = spark.sparkContext.defaultParallelism * 2
+    pairs = f.crossJoin(t).repartition(n_part).select(
+        "from_id", "to_id", sim.alias("sim")
+    )
     w = Window.partitionBy("from_id").orderBy(F.desc("sim"), F.asc("to_id"))
+    # two consumers (global min/max + the rescale) — truncate so the
+    # crossJoin + window run once, not once per consumer
     best = pairs.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") == 1
-    )
+    ).localCheckpoint(eager=True)
     stats = best.agg(F.min("sim").alias("lo"), F.max("sim").alias("hi"))
     return best.crossJoin(F.broadcast(stats)).select(
         "from_id",
