@@ -98,3 +98,76 @@ def tfidf_selfmatch_topk(
         ranked.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= top_n)
     )
+
+
+def tfidf_transform_topk(
+    model,
+    new_from: DataFrame,
+    to_df: DataFrame,
+    to_vec: DataFrame | None = None,
+    key_col: str = "key",
+    top_n: int = 1,
+    min_similarity: float = 0.0,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 32,
+    max_bucket_size: int | None = 5000,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """(from_id, to_id, sim_milli, rnk) — two-list transform-time top-n
+    with a FITTED model (reference ``re_train=False``, _tfidf.py:108-117):
+    new strings are vectorized with the fitted vocabulary (OOV grams drop,
+    normalize after the drop) and matched against ``to_df`` with no
+    self-exclusion.
+
+    Size-adaptive like ``tfidf_selfmatch_topk``: dense broadcast matmul
+    while the TO-side fits ``dense_cosine.fits_broadcast`` (the from-side
+    streams, so only the serving index is ever collected); above budget,
+    banded-MinHash two-list candidates + exact packed re-scoring —
+    identical milli-quantized contract on both paths.
+
+    ``to_vec``: pre-vectorized to-side (the fitted serving index) to reuse
+    across transform calls; recomputed from ``to_df`` when None.
+    """
+    from . import dense_cosine
+    from .tfidf import vectorize
+
+    model.idf = model.idf.localCheckpoint(eager=True)
+    dim = model.idf.count()
+    n_to = to_df.count()
+    new_vec = vectorize(model, new_from, key_col, id_col=id_col)
+    if to_vec is None:
+        to_vec = vectorize(model, to_df, key_col, id_col=id_col)
+    if dense_cosine.fits_broadcast(n_to, dim):
+        # the dense scorer makes several passes per input (vocab union,
+        # counts, matrix collect, stream) — truncate both lineages once
+        return dense_cosine.tfidf_dense_topk(
+            new_vec.localCheckpoint(eager=True),
+            to_vec.localCheckpoint(eager=True),
+            top_n=top_n,
+            min_similarity=min_similarity,
+        )
+
+    from .blocking import minhash_candidates
+    from .cosine_join import cosine_for_candidates
+
+    cands = minhash_candidates(
+        new_from, to_df, key_col=key_col, cfg=model.config,
+        num_hashes=num_hashes, bands=bands,
+        max_bucket_size=max_bucket_size,
+        min_shared_bands=min_shared_bands,
+    )
+    scored = cosine_for_candidates(cands, new_vec, to_vec)
+    milli = F.floor(F.round("sim", 3) * 1000 + F.lit(0.5)).cast("bigint")
+    min_milli = int(round(min_similarity * 1000)) if min_similarity > 0 else 0
+    ranked = (
+        scored.select("from_id", "to_id", milli.alias("sim_milli"))
+        .where(F.col("sim_milli") >= min_milli)
+    )
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("sim_milli"), F.asc("to_id")
+    )
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_n)
+    )

@@ -210,13 +210,14 @@ def q_tfidf_transform_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform-then-normalize) — and matched two-list (no self-exclusion)
     against the precomputed to-side vectors.
 
-    Scoring is the dense broadcast matmul (documents' trigram vocab is
-    tiny); its ``fits_broadcast`` gate refuses over-budget corpora, where
-    ``TFIDFMatcher``'s auto-blocking fit/transform covers the same verb
-    (tests/test_save_load.py round-trips that path)."""
+    Scoring goes through the size-adaptive two-list dispatcher
+    (``operators/adaptive.tfidf_transform_topk``): dense broadcast matmul
+    while the to-side serving index fits the broadcast budget, blocked
+    MinHash two-list candidates + exact packed re-scoring above it
+    (tests/test_adaptive.py forces the blocked route and re-checks)."""
     from .matchers import _tagged
-    from .operators.dense_cosine import tfidf_dense_topk
-    from .operators.tfidf import TfidfConfig, fit_tfidf, vectorize
+    from .operators.adaptive import tfidf_transform_topk
+    from .operators.tfidf import TfidfConfig, fit_tfidf
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
     to_df = docs.where(F.col("doc_id") % 3 == 0)
@@ -227,16 +228,8 @@ def q_tfidf_transform_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         TfidfConfig((3, 3), True, True),
     )
-    # the dense scorer makes several passes over each vector lineage (vocab
-    # union, counts, matrix collect, stream); without truncation every pass
-    # re-runs clean+shingle+fit-join — checkpoint the (vocab-bounded) IDF
-    # and both vector tables once
-    model.idf = model.idf.localCheckpoint(eager=True)
-    ranked = tfidf_dense_topk(
-        vectorize(model, new_from, "key").localCheckpoint(eager=True),
-        vectorize(model, to_df, "key").localCheckpoint(eager=True),
-        top_n=1,
-        min_similarity=TRANSFORM_MIN_SIM,
+    ranked = tfidf_transform_topk(
+        model, new_from, to_df, top_n=1, min_similarity=TRANSFORM_MIN_SIM
     )
     base = new_from.select(F.col("doc_id").alias("from_id"))
     return base.join(ranked.where(F.col("rnk") == 1), "from_id", "left").select(

@@ -196,3 +196,40 @@ def test_dense_entrypoints_refuse_over_budget(spark, monkeypatch):
     vec = vectorize(model, docs, "key")
     with pytest.raises(ValueError, match="broadcast budget"):
         dense_cosine.tfidf_dense_topk(vec, vec)
+
+
+def test_tfidf_transform_blocked_path_fires_and_scores_exact(
+    spark, con, monkeypatch
+):
+    """BROADCAST_MAX_DOCS=0 forces the two-list transform dispatcher onto
+    blocked MinHash candidates + packed re-scoring. Candidates are
+    approximate; every emitted pair's score must be bit-identical to the
+    all-pairs transform oracle (precision 1), with high top-1 agreement."""
+    from polyfuzz_spark.queries import ORACLE_TFIDF_TRANSFORM
+
+    monkeypatch.setattr(dense_cosine, "BROADCAST_MAX_DOCS", 0)
+    got = QUERIES["tfidf_transform_top1"](spark, SF).toPandas()
+
+    # all-pairs milli scores from the oracle's CTE chain (drop the final
+    # top-1 projection: keep every thresholded pair)
+    prefix = (
+        ORACLE_TFIDF_TRANSFORM.split("\nbest AS")[0].rstrip().rstrip(",")
+    )
+    exact = con.execute(
+        prefix + "\nSELECT from_id, to_id, sim_milli FROM pairs"
+    ).df()
+    merged = got[got.to_id.notna()].merge(
+        exact, on=["from_id", "to_id"], how="left", suffixes=("", "_exact")
+    )
+    assert merged.sim_milli_exact.notna().all(), "blocked path invented a pair"
+    assert (merged.sim_milli == merged.sim_milli_exact).all(), (
+        "blocked-path scores diverge from the exact oracle"
+    )
+
+    best = con.execute(ORACLE_TFIDF_TRANSFORM).df()
+    j = got.set_index("from_id").join(best.set_index("from_id"), rsuffix="_o")
+    same = (
+        (j.to_id.fillna(-1) == j.to_id_o.fillna(-1))
+        & (j.sim_milli == j.sim_milli_o)
+    ).mean()
+    assert same >= 0.9, f"top-1 agreement {same:.3f} < 0.9"
