@@ -67,7 +67,21 @@ def build_index(model: TfidfModel, to_vec: DataFrame,
                 id_col: str = "doc_id") -> TfidfIndex:
     """Materialize fitted state from the relational model: the IDF dimension
     table + the vectorized to-side (operators/tfidf outputs). The to-side
-    must be broadcast-sized — same precondition as any broadcast join."""
+    must be broadcast-sized — same precondition as any broadcast join,
+    enforced via the shared ``fits_broadcast`` budget (gate BEFORE the
+    collects; an over-budget serving corpus must take the blocked matcher
+    path, not OOM the driver)."""
+    from ..operators.dense_cosine import fits_broadcast
+
+    dim = model.idf.count()
+    n_to = to_vec.select(id_col).distinct().count()
+    if not fits_broadcast(n_to, dim):
+        raise ValueError(
+            f"to-side ({n_to} docs x {dim} terms) exceeds the broadcast "
+            "budget for a streaming serving index; match against the "
+            "corpus with the blocked path (operators.adaptive."
+            "tfidf_transform_topk) instead"
+        )
     idf_rows = sorted(model.idf.collect(), key=lambda r: r["term"])
     term_to_tid = {r["term"]: i for i, r in enumerate(idf_rows)}
     idf = np.array([r["idf"] for r in idf_rows])

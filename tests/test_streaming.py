@@ -323,3 +323,20 @@ def test_streaming_dedup_resume_exactly_once(spark, tmp_path):
     stream_dedup_parquet(*args).awaitTermination(120)
     final = spark.read.parquet(out_dir).toPandas()
     assert sorted(final.doc_id) == [0, 1, 10]
+
+
+def test_build_index_refuses_over_budget_corpus(spark, fitted, monkeypatch):
+    """The serving index is a broadcast: over the shared budget it must
+    refuse BEFORE collecting (the blocked matcher path covers that scale),
+    never OOM the driver."""
+    from polyfuzz_spark.operators import dense_cosine
+    from polyfuzz_spark.operators.tfidf import fit_tfidf, vectorize
+    from polyfuzz_spark.streaming.incremental import build_index
+
+    corpus = ["apple", "apples", "mouse"]
+    to_df = lists_to_df(spark, corpus)
+    model = fit_tfidf(to_df, "key")
+    to_vec = vectorize(model, to_df, "key")
+    monkeypatch.setattr(dense_cosine, "BROADCAST_MAX_DOCS", 0)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        build_index(model, to_vec)
