@@ -287,6 +287,42 @@ FROM newf n LEFT JOIN best b ON n.id = b.from_id AND b.rnk = 1
 """
 
 
+def q_score_pairs_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeled-pair evaluation verb (``api.score_pairs``) as a contract
+    query: an EXPLICIT pair table (each doc paired with its successor —
+    the shape of labeled candidate pairs at a shared blocking key) gains a
+    similarity column from the Jaro-Winkler kernel; one vectorized pandas
+    UDF over Arrow batches, no join fan-out, no driver collect."""
+    from .api import score_pairs
+
+    d = _docs(spark, sf_dir)
+    a = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.substring("text", 1, 40).alias("key_a"),
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.substring("text", 1, 40).alias("key_b"),
+    )
+    pairs = a.join(b, "pair_id")
+    scored = score_pairs(pairs, "jaro_winkler")
+    return scored.select(
+        "pair_id", _milli(F.col("similarity")).alias("sim_milli")
+    )
+
+
+ORACLE_SCORE_PAIRS_JW = f"""
+WITH a AS (SELECT doc_id AS pair_id, substring(text, 1, 40) AS ka
+           FROM documents),
+b AS (SELECT doc_id - 1 AS pair_id, substring(text, 1, 40) AS kb
+      FROM documents),
+p AS (SELECT pair_id, ka, kb FROM a JOIN b USING (pair_id))
+SELECT pair_id,
+       {MILLI.format(x='jaro_winkler_similarity(ka, kb)')} AS sim_milli
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # Edit-distance top-1 (J5/J6, K2/K3) on short key slices
 # --------------------------------------------------------------------------
@@ -1029,6 +1065,7 @@ def all_queries():
         "tfidf_match_top1": q_tfidf_match_top1,
         "tfidf_transform_top1": q_tfidf_transform_top1,
         "cluster_assignments": q_cluster_assignments,
+        "score_pairs_jw": q_score_pairs_jw,
         "levenshtein_top1": q_levenshtein_top1,
         "jaro_winkler_top1": q_jaro_winkler_top1,
         "exact_dedup_prefix": q_exact_dedup_prefix,
@@ -1059,6 +1096,7 @@ def all_oracles():
         "tfidf_match_top1": ORACLE_TFIDF_TOP1,
         "tfidf_transform_top1": ORACLE_TFIDF_TRANSFORM,
         "cluster_assignments": ORACLE_CLUSTERS,
+        "score_pairs_jw": ORACLE_SCORE_PAIRS_JW,
         "levenshtein_top1": ORACLE_LEV_TOP1,
         "jaro_winkler_top1": ORACLE_JW_TOP1,
         "exact_dedup_prefix": ORACLE_EXACT_DEDUP,
