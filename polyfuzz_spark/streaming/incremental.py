@@ -174,3 +174,59 @@ def stream_match_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+ADMIT_SCHEMA = "doc_id long, key string, best_sim_milli long, admitted boolean"
+
+
+def admission_filter(
+    docs: DataFrame,
+    index: TfidfIndex,
+    threshold: float = 0.8,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup admission screening at ingest: one verdict row PER incoming
+    document — ``admitted`` is False when its best TF-IDF cosine against
+    the fitted corpus reaches ``threshold`` (the training-data "don't
+    re-admit what the resolved corpus already contains" gate).
+
+    Stateless like ``incremental_match`` (per-row verdicts need no
+    cross-row state, so the SAME plan runs on batch and streaming
+    DataFrames with no watermark); documents that vectorize to nothing
+    (no in-vocabulary n-grams) score 0 and are admitted."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(index)
+    thr_milli = int(np.floor(round(threshold, 3) * 1000 + 0.5))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ix: TfidfIndex = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            best = np.zeros(len(pdf), dtype=np.int64)
+            vecs, pos = [], []
+            keys = list(pdf[key_col])
+            for i, key in enumerate(keys):
+                v = _vectorize_py(key or "", ix.term_to_tid, ix.idf, ix.config)
+                if v is not None:
+                    vecs.append(v)
+                    pos.append(i)
+            if vecs:
+                sims = np.vstack(vecs) @ ix.to_mat.T
+                milli = np.floor(np.round(sims, 3) * 1000 + 0.5).astype(
+                    np.int64
+                )
+                best[pos] = milli.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "key": keys,
+                    "best_sim_milli": best,
+                    "admitted": best < thr_milli,
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(key_col).alias(key_col)
+    ).mapInPandas(gen, schema=ADMIT_SCHEMA)

@@ -72,7 +72,8 @@ def test_whole_stage_codegen_present(spark):
 # must plan WITHOUT nested-loop/cartesian joins — the regression net for
 # the class of bug fixed in EmbeddingMatcher (non-equi self-join)
 NO_NESTED_LOOP = [
-    "tfidf_match_top1", "cluster_assignments", "exact_dedup_prefix",
+    "tfidf_match_top1", "tfidf_transform_top1", "score_pairs_jw",
+    "cluster_assignments", "exact_dedup_prefix",
     "ngram_jaccard_dups", "minhash_near_dups", "simhash_near_dups",
     "doc_stats", "docs_by_lang_source", "embedding_cosine_top3",
     "embedding_near_dups", "embedding_knn_lsh", "embedding_knn_ivf",

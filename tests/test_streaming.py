@@ -340,3 +340,60 @@ def test_build_index_refuses_over_budget_corpus(spark, fitted, monkeypatch):
     monkeypatch.setattr(dense_cosine, "BROADCAST_MAX_DOCS", 0)
     with pytest.raises(ValueError, match="broadcast budget"):
         build_index(model, to_vec)
+
+
+def test_admission_filter_batch_verdicts(spark, fitted):
+    """One verdict per incoming doc; admitted == (best top-1 milli score
+    from incremental_match < threshold); gram-less docs score 0."""
+    from polyfuzz_spark.streaming.incremental import admission_filter
+
+    _, _, index = fitted
+    from_df = lists_to_df(spark, NEW_DOCS)
+    got = admission_filter(from_df, index, threshold=0.5).toPandas()
+    assert len(got) == len(NEW_DOCS)
+    top1 = (
+        incremental_match(from_df, index, top_n=1)
+        .toPandas()
+        .set_index("from_id")
+        .sim_milli
+    )
+    for _, r in got.iterrows():
+        want_best = int(top1.get(r.doc_id, 0))
+        assert r.best_sim_milli == want_best, r.key
+        assert r.admitted == (want_best < 500), r.key
+    # "apple" is IN the fitted corpus -> sim 1000 -> rejected;
+    # "zzz qqq" shares nothing -> score 0 -> admitted
+    by_key = got.set_index("key")
+    assert not by_key.loc["apple"].admitted
+    assert by_key.loc["zzz qqq"].admitted
+    assert by_key.loc["zzz qqq"].best_sim_milli == 0
+
+
+def test_admission_filter_stream_equals_batch(spark, fitted, tmp_path):
+    from polyfuzz_spark.streaming.incremental import admission_filter
+
+    _, _, index = fitted
+    from_df = lists_to_df(spark, NEW_DOCS)
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    from_df.write.parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, key string").parquet(in_dir)
+    q = (
+        admission_filter(stream, index, threshold=0.5)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cols = ["doc_id", "key", "best_sim_milli", "admitted"]
+    s = spark.read.parquet(out_dir).toPandas()[cols].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    b = admission_filter(from_df, index, threshold=0.5).toPandas()[
+        cols
+    ].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, b)
