@@ -61,3 +61,31 @@ def test_missing_columns_raise_eagerly(spark, corpus, tmp_path):
         read_corpus(spark, str(tmp_path / "bad"))
     with pytest.raises(ValueError, match="unsupported corpus format"):
         read_corpus(spark, str(tmp_path / "bad"), "orc2")
+
+
+def test_csv_roundtrip_survives_adversarial_content(spark, tmp_path):
+    """Quotes, commas, newlines (LF and CRLF), backslashes and non-ASCII in
+    code content must survive a CSV round-trip byte-for-byte."""
+    rows = [
+        ("r", f"p{i}", "c", "py", content)
+        for i, content in enumerate([
+            'print("hello, world")\n  x = 1',
+            "a,b,c\r\nd,e",
+            'esc \\ backslash and "quoted, with comma"',
+            "tab\tand trailing spaces   ",
+            "unicode: żółć λ 中文\nsecond line",
+            '"leading quote',
+        ])
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path / "adv")
+    src.write.option("header", "true").option("escape", '"').option(
+        "ignoreLeadingWhiteSpace", "false"
+    ).option("ignoreTrailingWhiteSpace", "false").csv(out)
+    got = read_corpus(spark, out, "csv")
+    assert assert_sha256_invariant(got) == 0
+    a = sorted((r["path"], r["content"]) for r in src.collect())
+    b = sorted((r["path"], r["content"]) for r in got.collect())
+    assert a == b
