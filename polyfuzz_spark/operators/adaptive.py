@@ -127,7 +127,9 @@ def tfidf_transform_topk(
     identical milli-quantized contract on both paths.
 
     ``to_vec``: pre-vectorized to-side (the fitted serving index) to reuse
-    across transform calls; recomputed from ``to_df`` when None.
+    across transform calls on the DENSE branch; recomputed from ``to_df``
+    when None. The blocked branch always packs map-side (its vectors are
+    hash-packed arrays, a different layout).
     """
     from . import dense_cosine
     from .tfidf import vectorize
@@ -135,10 +137,10 @@ def tfidf_transform_topk(
     model.idf = model.idf.localCheckpoint(eager=True)
     dim = model.idf.count()
     n_to = to_df.count()
-    new_vec = vectorize(model, new_from, key_col, id_col=id_col)
-    if to_vec is None:
-        to_vec = vectorize(model, to_df, key_col, id_col=id_col)
     if dense_cosine.fits_broadcast(n_to, dim):
+        new_vec = vectorize(model, new_from, key_col, id_col=id_col)
+        if to_vec is None:
+            to_vec = vectorize(model, to_df, key_col, id_col=id_col)
         # the dense scorer makes several passes per input (vocab union,
         # counts, matrix collect, stream) — truncate both lineages once
         return dense_cosine.tfidf_dense_topk(
@@ -148,16 +150,28 @@ def tfidf_transform_topk(
             min_similarity=min_similarity,
         )
 
+    # blocked branch: MAP-SIDE packed vectorization (the ER-pipeline scale
+    # shape) — the relational vectorize explodes |docs|×|grams| term rows
+    # through a window norm, which at millions of docs is the memory
+    # bottleneck the mapside kernel exists to avoid; scores are identical
+    # float64 (xxhash64 term identity, merge-intersect kernel)
     from .blocking import minhash_candidates
-    from .cosine_join import cosine_for_candidates
+    from .cosine_join import score_candidates_packed
+    from .mapside import vectorize_packed_mapside
 
+    new_packed = vectorize_packed_mapside(
+        model, new_from, key_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    to_packed = vectorize_packed_mapside(
+        model, to_df, key_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     cands = minhash_candidates(
         new_from, to_df, key_col=key_col, cfg=model.config,
         num_hashes=num_hashes, bands=bands,
         max_bucket_size=max_bucket_size,
         min_shared_bands=min_shared_bands,
     )
-    scored = cosine_for_candidates(cands, new_vec, to_vec)
+    scored = score_candidates_packed(cands, new_packed, to_packed)
     milli = F.floor(F.round("sim", 3) * 1000 + F.lit(0.5)).cast("bigint")
     min_milli = int(round(min_similarity * 1000)) if min_similarity > 0 else 0
     ranked = (
