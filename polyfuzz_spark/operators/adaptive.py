@@ -130,6 +130,16 @@ def tfidf_transform_topk(
     across transform calls on the DENSE branch; recomputed from ``to_df``
     when None. The blocked branch always packs map-side (its vectors are
     hash-packed arrays, a different layout).
+
+    Blocking knobs at corpus scale: the permissive defaults (b=32 bands of
+    r=2 rows, bucket cap 5000, ≥1 shared band) maximize recall at moderate
+    Jaccard and are fine up to ~hundreds of thousands of docs; on a
+    SHARED-VOCABULARY corpus (code) at millions of docs they explode the
+    banded join (capped buckets still pair 5000×5000 per hot key). Use the
+    ER-pipeline config there — ``num_hashes=64, bands=16,
+    max_bucket_size=200, min_shared_bands=2`` — measured end-to-end at a
+    2.2M-doc to-side × 200k new docs in 760 s on local[32] with flat
+    memory (BASELINE.md).
     """
     from . import dense_cosine
     from .tfidf import vectorize
