@@ -18,10 +18,69 @@ re-expression.
 
 from __future__ import annotations
 
+from dataclasses import replace as _dc_replace
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .tfidf import TfidfConfig
+
+_UNSET = object()
+
+# Blocking-knob regimes for the blocked branches. PERMISSIVE maximizes
+# candidate recall at moderate Jaccard and is safe up to ~hundreds of
+# thousands of docs; on a SHARED-VOCABULARY corpus (code) at millions of
+# docs its banded join explodes (capped buckets still pair 5000×5000 per
+# hot key — BASELINE.md). SCALE is the ER-pipeline config measured
+# end-to-end at a 2.2M-doc to-side × 200k new docs in 760 s on local[32]
+# with flat memory. The dispatchers switch automatically at
+# BLOCKED_KNOBS_MIN_DOCS so the documented explosion cannot fire from the
+# defaults; explicit caller knobs always win.
+PERMISSIVE_KNOBS = {
+    "num_hashes": 64, "bands": 32, "max_bucket_size": 5000,
+    "min_shared_bands": 1,
+}
+SCALE_KNOBS = {
+    "num_hashes": 64, "bands": 16, "max_bucket_size": 200,
+    "min_shared_bands": 2,
+}
+BLOCKED_KNOBS_MIN_DOCS = 500_000  # monkeypatchable in tests
+
+
+def resolve_blocking_knobs(
+    n_docs: int,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    max_bucket_size=_UNSET,
+    min_shared_bands: int | None = None,
+) -> dict:
+    """Blocking knobs for a blocked branch over ``n_docs`` documents:
+    the size-appropriate regime (PERMISSIVE below BLOCKED_KNOBS_MIN_DOCS,
+    SCALE above) with any explicitly-passed knob overriding it.
+    ``max_bucket_size`` uses a sentinel because ``None`` (no cap) is a
+    meaningful explicit value."""
+    knobs = dict(
+        SCALE_KNOBS if n_docs > BLOCKED_KNOBS_MIN_DOCS else PERMISSIVE_KNOBS
+    )
+    if num_hashes is not None:
+        knobs["num_hashes"] = num_hashes
+    if bands is not None:
+        knobs["bands"] = bands
+    if max_bucket_size is not _UNSET:
+        knobs["max_bucket_size"] = max_bucket_size
+    if min_shared_bands is not None:
+        knobs["min_shared_bands"] = min_shared_bands
+    return knobs
+
+
+def _as_doc_id(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """Project (doc_id, key) for the blocking operators, which hardcode the
+    ``doc_id`` name (ADVICE r02: a non-default id_col used to work on the
+    dense path and fail with AnalysisException only above the broadcast
+    budget)."""
+    if id_col == "doc_id":
+        return df
+    return df.select(F.col(id_col).alias("doc_id"), key_col)
 
 
 def tfidf_selfmatch_topk(
@@ -31,19 +90,22 @@ def tfidf_selfmatch_topk(
     min_similarity: float = 0.0,
     cfg: TfidfConfig | None = None,
     id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 32,
-    max_bucket_size: int | None = 5000,
-    min_shared_bands: int = 1,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    max_bucket_size=_UNSET,
+    min_shared_bands: int | None = None,
 ) -> DataFrame:
     """(from_id, to_id, sim_milli, rnk) — self-match top-n pairs with
     sim ≥ min_similarity, ranked on the milli-quantized score with a to_id
     tie-break (identical contract on both paths).
 
     Dense path (corpus within ``dense_cosine.fits_broadcast``): exact.
-    Blocked path: exact scores over banded-MinHash candidates — bands=32 ×
-    r=2 keeps P(candidate) ≥ 95% even at Jaccard ≈ 0.3; hot buckets are
-    capped at ``max_bucket_size`` (documented recall tradeoff at scale).
+    Blocked path: exact scores over banded-MinHash candidates; knobs left
+    at None resolve via ``resolve_blocking_knobs`` — permissive recall
+    (b=32 × r=2, P(candidate) ≥ 95% even at Jaccard ≈ 0.3) below
+    ``BLOCKED_KNOBS_MIN_DOCS``, the measured-safe ER config above it.
+    Hot buckets are capped at ``max_bucket_size`` (documented recall
+    tradeoff at scale).
     """
     from . import dense_cosine
     from .mapside import (
@@ -74,13 +136,17 @@ def tfidf_selfmatch_topk(
 
     # blocked scale path: band keys map-side, candidates from the capped
     # banded equi-join (both orientations, diagonal excluded), exact cosine
-    # on candidates only.
+    # on candidates only; knobs sized to the corpus (VERDICT r02 item 1).
+    knobs = resolve_blocking_knobs(
+        model.n_docs, num_hashes, bands, max_bucket_size, min_shared_bands
+    )
     band_rows = minhash_bands_mapside(
-        docs, key_col, cfg, num_hashes=num_hashes, bands=bands, id_col=id_col
+        docs, key_col, cfg, num_hashes=knobs["num_hashes"],
+        bands=knobs["bands"], id_col=id_col,
     )
     cands = candidates_from_bands(
-        band_rows, None, max_bucket_size=max_bucket_size,
-        min_shared_bands=min_shared_bands,
+        band_rows, None, max_bucket_size=knobs["max_bucket_size"],
+        min_shared_bands=knobs["min_shared_bands"],
     )
     scored = score_candidates_packed(cands, packed, packed)
     # two-step milli quantization — same value as the dense kernel's
@@ -109,10 +175,10 @@ def tfidf_transform_topk(
     top_n: int = 1,
     min_similarity: float = 0.0,
     id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 32,
-    max_bucket_size: int | None = 5000,
-    min_shared_bands: int = 1,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    max_bucket_size=_UNSET,
+    min_shared_bands: int | None = None,
 ) -> DataFrame:
     """(from_id, to_id, sim_milli, rnk) — two-list transform-time top-n
     with a FITTED model (reference ``re_train=False``, _tfidf.py:108-117):
@@ -131,20 +197,21 @@ def tfidf_transform_topk(
     when None. The blocked branch always packs map-side (its vectors are
     hash-packed arrays, a different layout).
 
-    Blocking knobs at corpus scale: the permissive defaults (b=32 bands of
-    r=2 rows, bucket cap 5000, ≥1 shared band) maximize recall at moderate
-    Jaccard and are fine up to ~hundreds of thousands of docs; on a
-    SHARED-VOCABULARY corpus (code) at millions of docs they explode the
-    banded join (capped buckets still pair 5000×5000 per hot key). Use the
-    ER-pipeline config there — ``num_hashes=64, bands=16,
-    max_bucket_size=200, min_shared_bands=2`` — measured end-to-end at a
-    2.2M-doc to-side × 200k new docs in 760 s on local[32] with flat
-    memory (BASELINE.md).
+    Blocking knobs at corpus scale: knobs left at None resolve via
+    ``resolve_blocking_knobs`` on the TO-side size — the permissive set
+    (b=32 × r=2, bucket cap 5000, ≥1 shared band) below
+    ``BLOCKED_KNOBS_MIN_DOCS``, the ER-pipeline config (``num_hashes=64,
+    bands=16, max_bucket_size=200, min_shared_bands=2``, measured
+    end-to-end at a 2.2M-doc to-side × 200k new docs in 760 s on local[32]
+    with flat memory, BASELINE.md) above it. Explicit knobs always win.
     """
     from . import dense_cosine
     from .tfidf import vectorize
 
-    model.idf = model.idf.localCheckpoint(eager=True)
+    # checkpoint into a LOCAL model copy — mutating the caller's model
+    # stacks checkpoints across repeated transform calls and races shared
+    # models (ADVICE r02)
+    model = _dc_replace(model, idf=model.idf.localCheckpoint(eager=True))
     dim = model.idf.count()
     n_to = to_df.count()
     if dense_cosine.fits_broadcast(n_to, dim):
@@ -175,11 +242,13 @@ def tfidf_transform_topk(
     to_packed = vectorize_packed_mapside(
         model, to_df, key_col, id_col=id_col
     ).localCheckpoint(eager=True)
+    knobs = resolve_blocking_knobs(
+        n_to, num_hashes, bands, max_bucket_size, min_shared_bands
+    )
     cands = minhash_candidates(
-        new_from, to_df, key_col=key_col, cfg=model.config,
-        num_hashes=num_hashes, bands=bands,
-        max_bucket_size=max_bucket_size,
-        min_shared_bands=min_shared_bands,
+        _as_doc_id(new_from, id_col, key_col),
+        _as_doc_id(to_df, id_col, key_col),
+        key_col=key_col, cfg=model.config, **knobs,
     )
     scored = score_candidates_packed(cands, new_packed, to_packed)
     milli = F.floor(F.round("sim", 3) * 1000 + F.lit(0.5)).cast("bigint")
