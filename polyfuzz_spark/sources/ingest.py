@@ -26,17 +26,80 @@ REQUIRED = ("repo", "path", "commit", "lang", "content")
 _READ_OPTS = {
     # whitespace is significant in code content — never trim (the CSV
     # WRITER trims leading whitespace by default too: exporters must write
-    # with ignoreLeading/TrailingWhiteSpace=false, as the tests do)
+    # with ignoreLeading/TrailingWhiteSpace=false, as the tests do).
+    # null vs empty string: Spark's CSV defaults map an empty field back to
+    # null, silently corrupting EMPTY documents (common in real repos —
+    # sha2(null) nulls the lineage column). The reader pins a
+    # distinguishable pair — nullValue "\\N", emptyValue "" — and the
+    # documented writer recipe is the mirror image:
+    #   .option("nullValue", "\\N").option("emptyValue", '""')
+    # so '' and NULL round-trip byte-for-byte (tested with an empty-string
+    # row in tests/test_ingest.py).
     "csv": {
         "header": "true",
         "multiLine": "true",
         "escape": '"',
         "ignoreLeadingWhiteSpace": "false",
         "ignoreTrailingWhiteSpace": "false",
+        "nullValue": "\\N",
+        "emptyValue": "",
     },
-    "json": {},       # JSON Lines
+    "json": {},       # JSON Lines; explicit schema built from a 1-line peek
     "parquet": {},
 }
+
+# the documented CSV writer recipe (mirror of the read options above) —
+# exporters and tests share it so the round-trip contract is one artifact
+CSV_WRITE_OPTS = {
+    "header": "true",
+    "escape": '"',
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+    "nullValue": "\\N",
+    "emptyValue": '""',
+}
+
+
+def _json_schema(spark: SparkSession, source: str):
+    """EXPLICIT JSONL schema from a one-line driver-side peek — never
+    ``spark.read.json`` inference, which is a full extra scan AND drifts
+    types: an exporter writing numeric-looking repo/path/commit values
+    would yield bigint columns, silently changing xxhash64-derived doc_ids
+    vs the same data read from CSV/parquet (ADVICE r02). Required columns
+    are pinned to string (Spark coerces bare JSON numbers to their literal
+    text under a string field); ``doc_id`` takes the sampled value's type
+    (long for JSON numbers, string for quoted ids — a long field would
+    null out quoted values, the canonical projection casts instead)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    sample = (
+        spark.read.text(source)
+        .where(F.length(F.trim("value")) > 0)
+        .first()
+    )
+    if sample is None:
+        raise ValueError(f"corpus at {source!r} has no JSON lines")
+    first = json.loads(sample["value"])
+    missing = [c for c in REQUIRED if c not in first]
+    if missing:
+        raise ValueError(
+            f"corpus at {source!r} is missing required columns {missing}; "
+            f"need {list(REQUIRED)}"
+        )
+    fields = [T.StructField(c, T.StringType()) for c in REQUIRED]
+    if "doc_id" in first:
+        id_type = (
+            T.LongType()
+            if isinstance(first["doc_id"], int)
+            and not isinstance(first["doc_id"], bool)
+            else T.StringType()
+        )
+        fields.append(T.StructField("doc_id", id_type))
+    if "content_sha256" in first:
+        fields.append(T.StructField("content_sha256", T.StringType()))
+    return T.StructType(fields)
 
 
 def read_corpus(
@@ -67,6 +130,8 @@ def read_corpus(
         # all canonical columns are strings (doc_id cast below) — keep
         # inferSchema off so ingestion is a single scan
         reader = reader.option("inferSchema", "false")
+    elif fmt == "json":
+        reader = reader.schema(_json_schema(spark, source))
     df = reader.load(source)
     missing = [c for c in REQUIRED if c not in df.columns]
     if missing:
