@@ -397,3 +397,55 @@ def test_admission_filter_stream_equals_batch(spark, fitted, tmp_path):
         cols
     ].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(s, b)
+
+
+def test_batched_vectorizer_equals_perdoc_fallback(spark, fitted):
+    """The whole-batch serving vectorizer (VERDICT r02 item 2) must be
+    row-identical to the per-doc fallback on BOTH serving kernels — same
+    dispatch contract as mapside.vectorize_packed_mapside."""
+    import dataclasses
+
+    from polyfuzz_spark.streaming.incremental import admission_filter
+
+    _, _, index = fitted
+    assert index.vpack is not None, "batched precondition should hold here"
+    fallback = dataclasses.replace(index, vpack=None)
+    from_df = lists_to_df(spark, NEW_DOCS)
+    a = _canon(
+        incremental_match(from_df, index, top_n=2, min_similarity=0.2)
+        .toPandas()
+    )
+    b = _canon(
+        incremental_match(from_df, fallback, top_n=2, min_similarity=0.2)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+    av = admission_filter(from_df, index, threshold=0.5).toPandas()
+    bv = admission_filter(from_df, fallback, threshold=0.5).toPandas()
+    pd.testing.assert_frame_equal(
+        av.sort_values("doc_id").reset_index(drop=True),
+        bv.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_admission_filter_empty_index_admits_everything(spark, fitted):
+    """Zero corpus rows in the fitted index must score 0 / admit all
+    (ADVICE r02: max over an empty axis used to raise mid-stream)."""
+    import dataclasses
+
+    import numpy as np
+
+    from polyfuzz_spark.streaming.incremental import admission_filter
+
+    _, _, index = fitted
+    empty = dataclasses.replace(
+        index,
+        to_ids=np.empty(0, dtype=np.int64),
+        to_mat=np.empty((0, len(index.idf))),
+    )
+    docs = lists_to_df(spark, NEW_DOCS)
+    out = admission_filter(docs, empty, threshold=0.5).toPandas()
+    assert len(out) == len(NEW_DOCS)
+    assert out.admitted.all() and (out.best_sim_milli == 0).all()
+    # the match kernel yields no rows against an empty index, not an error
+    assert incremental_match(docs, empty).count() == 0
