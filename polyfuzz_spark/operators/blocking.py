@@ -108,6 +108,8 @@ def minhash_candidates(
     max_bucket_size: int | None = 2000,
     seed: int = 42,
     min_shared_bands: int = 1,
+    hot_bucket: str = "drop",
+    max_salt: int = 16,
 ) -> DataFrame:
     """Distinct (from_id, to_id) candidate pairs sharing ≥ min_shared_bands
     LSH bands.
@@ -120,56 +122,32 @@ def minhash_candidates(
     12% single-band but 0.7% two-band probability, while a j=0.8 pair keeps
     99.97% ≥2-band recall. Use 2 on corpora with a shared base vocabulary
     (code keywords) where j≈0.3 impostor pairs are abundant; the candidate
-    count drops ~20× with negligible recall loss above j≈0.75."""
+    count drops ~20× with negligible recall loss above j≈0.75.
+
+    ``hot_bucket="salt"`` replaces the drop-members cap with the
+    recall-preserving salted grid join (``mapside._salted_sides``) up to
+    cap×``max_salt`` members per bucket.
+
+    The banded join itself (capping/salting, ≥k-bands counting,
+    orientations) is shared with the map-side band generator —
+    ``mapside.candidates_from_bands``."""
+    from .mapside import candidates_from_bands
+
     rows_per_band = num_hashes // bands
-    # localCheckpoint: the banded signatures are reused by the bucket-size
-    # dimension AND both sides of the self-join — materialize once instead of
-    # re-running the explode + num_hashes min-aggregates per consumer.
-    f_bands = _cap_buckets(
-        band_keys(
-            minhash_signatures(from_df, key_col, cfg, num_hashes, seed),
+    f_bands = band_keys(
+        minhash_signatures(from_df, key_col, cfg, num_hashes, seed),
+        bands,
+        rows_per_band,
+    )
+    t_bands = None
+    if to_df is not None:
+        t_bands = band_keys(
+            minhash_signatures(to_df, key_col, cfg, num_hashes, seed),
             bands,
             rows_per_band,
-        ).localCheckpoint(eager=True),
-        max_bucket_size,
-    )
-    if to_df is None:
-        t_bands = f_bands
-    else:
-        t_bands = _cap_buckets(
-            band_keys(
-                minhash_signatures(to_df, key_col, cfg, num_hashes, seed),
-                bands,
-                rows_per_band,
-            ).localCheckpoint(eager=True),
-            max_bucket_size,
         )
-    f = f_bands.select(
-        F.col("doc_id").alias("from_id"), "band", F.col("band_key").alias("f_bk")
+    return candidates_from_bands(
+        f_bands, t_bands, max_bucket_size=max_bucket_size,
+        min_shared_bands=min_shared_bands, hot_bucket=hot_bucket,
+        max_salt=max_salt,
     )
-    t = t_bands.select(
-        F.col("doc_id").alias("to_id"),
-        F.col("band").alias("t_band"),
-        F.col("band_key").alias("t_bk"),
-    )
-    cond = (F.col("band") == F.col("t_band")) & (F.col("f_bk") == F.col("t_bk"))
-    if to_df is None:
-        # one join row per unordered pair (halves the quadratic join output
-        # and the dedup shuffle); both orientations re-emitted afterwards —
-        # band counts are orientation-symmetric
-        cond = cond & (F.col("from_id") < F.col("to_id"))
-    joined = f.join(t, cond).select("from_id", "to_id")
-    if min_shared_bands <= 1:
-        pairs = joined.distinct()
-    else:
-        pairs = (
-            joined.groupBy("from_id", "to_id")
-            .agg(F.count(F.lit(1)).alias("n_bands"))
-            .where(F.col("n_bands") >= min_shared_bands)
-            .select("from_id", "to_id")
-        )
-    if to_df is not None:
-        return pairs
-    from .mapside import _both_orientations
-
-    return _both_orientations(pairs)
