@@ -193,16 +193,30 @@ class PolyFuzzSpark:
 
                 grouper = RapidFuzzMatcher()
             elif model == "Embeddings":
-                # grouping re-matches bare To-strings; EmbeddingMatcher
-                # needs an (doc_id, key, embedding) source and this engine
-                # has no string-encode step (the reference's Flair/SBERT
-                # encoder is a plug point, SURVEY §2.8 K4) — fail the
-                # contract clearly instead of deep in the plan
-                raise ValueError(
-                    "the 'Embeddings' grouper needs an encode step: wrap "
-                    "your encoder in a BaseSparkMatcher that produces "
-                    "(doc_id, key, embedding) and pass that instance"
-                )
+                # grouping re-matches bare To-strings, so an embedding
+                # grouper needs an encode step (the reference's Flair/SBERT
+                # encoder plug, _embeddings.py:34-60). The string form is
+                # honored when a fitted EmbeddingMatcher with an encoder is
+                # available to reuse; otherwise fail clearly instead of
+                # deep in the plan.
+                cand = [
+                    m for m in self._matchers.values()
+                    if isinstance(m, EmbeddingMatcher) and m.encoder is not None
+                ]
+                if cand:
+                    grouper = EmbeddingMatcher(
+                        min_similarity=link_min_similarity,
+                        encoder=cand[0].encoder,
+                        lsh_conf=cand[0].lsh_conf,
+                    )
+                else:
+                    raise ValueError(
+                        "the 'Embeddings' grouper needs an encode step: "
+                        "pass an EmbeddingMatcher(encoder=...) instance "
+                        "(or match with one first), where encoder is a "
+                        "DataFrame -> DataFrame adding the 'embedding' "
+                        "column"
+                    )
             else:
                 raise ValueError(
                     "Please choose one of: 'TF-IDF', 'EditDistance', "
@@ -323,6 +337,10 @@ class PolyFuzzSpark:
                 "min_similarity": matcher.min_similarity,
                 "top_n": matcher.top_n,
                 "lsh_conf": matcher.lsh_conf,
+                # Python callables don't round-trip a JSON manifest; the
+                # flag makes the loss visible — re-attach after load() to
+                # serve raw-string (encoder) inputs again
+                "has_encoder": matcher.encoder is not None,
             }
         if isinstance(matcher, RapidFuzzMatcher):
             return {

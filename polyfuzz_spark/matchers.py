@@ -135,6 +135,17 @@ class EmbeddingMatcher(BaseSparkMatcher):
     array<float|double> column; any (doc_id, key, embedding) source plugs in
     (the reference's Flair/SBERT/... encode step is that plug point).
 
+    ``encoder``: optional plug for inputs WITHOUT an embedding column — a
+    callable ``DataFrame -> DataFrame`` that adds ``embedding`` (the
+    engine's sanctioned equivalent of the reference's embedding-model
+    constructor arg, ``_embeddings.py:34-60``; typically a ``mapInPandas``
+    over an Arrow-batched model). This is what makes
+    ``group(model=EmbeddingMatcher(encoder=...))`` work end-to-end on bare
+    strings: grouping re-matches (doc_id, key) rows, which the encoder
+    embeds on the fly. Encoders are Python callables and are NOT persisted
+    by ``save()`` (the manifest records their presence; re-attach after
+    ``load`` to serve raw-string inputs again).
+
     Routed through ``dense_cosine.embedding_dense_topk``: corpus broadcast
     as one normalized matrix, queries streamed through a batch matmul — a
     top-k kernel, never a BroadcastNestedLoopJoin (the non-equi
@@ -151,18 +162,37 @@ class EmbeddingMatcher(BaseSparkMatcher):
     type = "Embeddings"
 
     def __init__(self, min_similarity: float = 0.75, top_n: int = 1,
-                 model_id: str | None = None, lsh_conf: dict | None = None):
+                 model_id: str | None = None, lsh_conf: dict | None = None,
+                 encoder=None):
         super().__init__(model_id)
         self.min_similarity = min_similarity
         self.top_n = top_n
         self.lsh_conf = lsh_conf
+        self.encoder = encoder
+
+    def _with_embeddings(self, df: DataFrame) -> DataFrame:
+        if "embedding" in df.columns:
+            return df
+        if self.encoder is None:
+            raise ValueError(
+                "EmbeddingMatcher input has no 'embedding' column; either "
+                "supply (doc_id, key, embedding) rows or construct the "
+                "matcher with encoder=<DataFrame -> DataFrame adding it>"
+            )
+        out = self.encoder(df)
+        if "embedding" not in out.columns:
+            raise ValueError(
+                "the supplied encoder did not add an 'embedding' column"
+            )
+        return out
 
     def match_df(self, from_df: DataFrame, to_df: DataFrame | None = None,
                  re_train: bool = True) -> DataFrame:
         from .operators.dense_cosine import embedding_dense_topk
 
         exclude_self = to_df is None
-        to_eff = to_df if to_df is not None else from_df
+        from_df = self._with_embeddings(from_df)
+        to_eff = self._with_embeddings(to_df) if to_df is not None else from_df
         topk = embedding_dense_topk(
             from_df, to_eff, k=self.top_n, id_col="doc_id",
             vec_col="embedding", exclude_self=exclude_self,

@@ -217,13 +217,17 @@ def q_tfidf_transform_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_adaptive.py forces the blocked route and re-checks)."""
     from .matchers import _tagged
     from .operators.adaptive import tfidf_transform_topk
-    from .operators.tfidf import TfidfConfig, fit_tfidf
+    from .operators.mapside import fit_idf_mapside
+    from .operators.tfidf import TfidfConfig
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
     to_df = docs.where(F.col("doc_id") % 3 == 0)
     fit_from = docs.where(F.col("doc_id") % 3 == 1)
     new_from = docs.where(F.col("doc_id") % 3 == 2)
-    model = fit_tfidf(
+    # map-side fit (VERDICT r02 item 5): value-identical IDF to the
+    # relational fit_tfidf, without the |docs|x|grams| exploded shuffle —
+    # this was the slowest contract query and the fit dominated it
+    model = fit_idf_mapside(
         _tagged(to_df, "t:").unionByName(_tagged(fit_from, "f:")),
         "key",
         TfidfConfig((3, 3), True, True),

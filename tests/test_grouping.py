@@ -196,3 +196,64 @@ def test_dedup_corpus_no_pairs_is_identity(spark):
     )
     pairs = spark.createDataFrame([], "from_id long, to_id long")
     assert dedup_corpus(docs, pairs).count() == 2
+
+
+def _trigram_sketch_encoder(df):
+    """Deterministic example encoder for the grouping-by-embeddings plug
+    (VERDICT r02 item 6): 32-dim char-trigram count sketch, Arrow-batched
+    mapInPandas — the shape a real SBERT-style encoder plug takes."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    cols = df.columns
+
+    def gen(batches):
+        for pdf in batches:
+            embs = []
+            for k in pdf["key"]:
+                v = np.zeros(32)
+                s = (k or "").lower()
+                for i in range(len(s) - 2):
+                    v[zlib.crc32(s[i:i + 3].encode()) % 32] += 1.0
+                embs.append(v.tolist())
+            yield pdf.assign(embedding=pd.Series(embs, dtype="object"))
+
+    fields = ", ".join(f"{c} {t}" for c, t in df.dtypes)
+    return df.mapInPandas(gen, schema=f"{fields}, embedding array<double>")
+
+
+def test_group_with_embedding_encoder_end_to_end(spark, from_list, to_list):
+    """Clustering by embedding cosine on bare strings, end to end: the
+    encoder plug embeds the distinct To-strings on the fly and transitive
+    clustering runs on the cosine edges."""
+    from polyfuzz_spark.matchers import EmbeddingMatcher
+
+    m = PolyFuzzSpark("TF-IDF", spark).match(from_list, to_list)
+    grouper = EmbeddingMatcher(
+        min_similarity=0.6, encoder=_trigram_sketch_encoder
+    )
+    m.group(model=grouper, link_min_similarity=0.6)
+    pdf = m.matches_pandas()
+    by_from = pdf.set_index("From")["Group"]
+    # apple/apples share most trigrams -> one embedding cluster
+    assert by_from["apple"] == by_from["apples"]
+    clusters = m.get_clusters().toPandas()
+    assert {"key", "cluster_id"}.issubset(clusters.columns)
+
+
+def test_group_embeddings_string_reuses_fitted_encoder(spark, from_list,
+                                                       to_list):
+    """group(model='Embeddings') — the reference string — works when a
+    fitted EmbeddingMatcher carries an encoder to reuse."""
+    from polyfuzz_spark.matchers import EmbeddingMatcher
+
+    matcher = EmbeddingMatcher(
+        min_similarity=0.3, encoder=_trigram_sketch_encoder
+    )
+    m = PolyFuzzSpark(matcher, spark).match(from_list, to_list)
+    m.group(model="Embeddings", link_min_similarity=0.6)
+    pdf = m.matches_pandas()
+    by_from = pdf.set_index("From")["Group"]
+    assert by_from["apple"] == by_from["apples"]

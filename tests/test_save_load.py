@@ -91,3 +91,42 @@ def test_save_refuses_unroundtrippable_custom_matcher(spark, tmp_path):
     m._matchers["c"] = Custom()
     with pytest.raises(NotImplementedError, match="round-trip"):
         m.save(str(tmp_path / "pf3"))
+
+
+def test_embedding_save_load_transform_parity(spark, tmp_path):
+    """VERDICT r02 item 4 (reference polyfuzz.py:429-457 joblib-pickles the
+    fitted ``embeddings_to``): fit → save → load → transform must equal the
+    pre-save transform for the EmbeddingMatcher — the serving to-side
+    (ids + embeddings) round-trips through the to_list parquet, so a
+    reloaded instance serves without the embedding DataFrame re-supplied."""
+    import pandas as pd
+
+    from polyfuzz_spark.matchers import EmbeddingMatcher
+
+    to_df = spark.createDataFrame(
+        [(0, "a", [1.0, 0.0]), (1, "b", [2.0, 0.0]),
+         (2, "c", [0.0, 1.0]), (3, "d", [0.6, 0.8])],
+        "doc_id long, key string, embedding array<double>",
+    )
+    fr = spark.createDataFrame(
+        [(10, "q1", [0.9, 0.1]), (11, "q2", [0.1, 0.9])],
+        "doc_id long, key string, embedding array<double>",
+    )
+    m = PolyFuzzSpark(EmbeddingMatcher(min_similarity=0.5, top_n=1), spark)
+    m.fit(fr, to_df)
+    pre = (
+        m.transform(fr)["Embeddings"].toPandas()
+        .sort_values("from_id").reset_index(drop=True)
+    )
+    path = str(tmp_path / "emb_model")
+    m.save(path)
+    m2 = PolyFuzzSpark.load(path, spark)
+    restored = next(iter(m2._matchers.values()))
+    assert isinstance(restored, EmbeddingMatcher)
+    assert restored.min_similarity == 0.5 and restored.top_n == 1
+    post = (
+        m2.transform(fr)["Embeddings"].toPandas()
+        .sort_values("from_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(pre, post)
+    assert list(post.to_id) == [0, 2]
