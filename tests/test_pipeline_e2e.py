@@ -293,3 +293,57 @@ def test_batched_fit_vectorize_bit_identical(spark):
         assert got_w == wts.tolist()  # exact float64 equality
         n_checked += 1
     assert n_checked > 50
+
+
+def test_crash_after_scores_resumes_hash_equal(spark, tmp_path, monkeypatch):
+    """Crash-mid-run resume contract as a fast fixture (VERDICT r02 item
+    7): kill the run AFTER the scores checkpoint lands (mid-matches),
+    re-launch with the same run_dir, and require (a) ingest + candidates +
+    scores all manifest-SKIPPED (written_at unchanged — ≥2 stages, here 3),
+    (b) the final survivors content-hash-equal to an uninterrupted clean
+    run."""
+    import polyfuzz_spark.plans.pipeline as P
+
+    corpus = generate_corpus(spark, n_entities=40, seed=7)
+
+    # clean reference run
+    clean = ERPipeline(spark, str(tmp_path / "clean"), CFG)
+    clean.run(corpus)
+
+    def _content_hash(pipe):
+        return (
+            pipe.read("survivors")
+            .agg(F.sha2(F.concat_ws("", F.sort_array(
+                F.collect_list("content_sha256"))), 256))
+            .collect()[0][0]
+        )
+
+    want = _content_hash(clean)
+
+    # interrupted run: both_orientations fires at the START of the matches
+    # stage, i.e. right after the scores checkpoint — the kill point
+    run_dir = str(tmp_path / "crash")
+    real = P.both_orientations
+
+    def bomb(*a, **kw):
+        raise RuntimeError("simulated executor loss after scoring")
+
+    monkeypatch.setattr(P, "both_orientations", bomb)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ERPipeline(spark, run_dir, CFG).run(corpus)
+    monkeypatch.setattr(P, "both_orientations", real)
+
+    crashed = ERPipeline(spark, run_dir, CFG)
+    assert crashed.is_complete("scores")
+    assert not crashed.is_complete("matches")
+    stamps = {
+        s: json.loads(crashed._manifest(s).read_text())["written_at"]
+        for s in ("ingest", "candidates", "scores")
+    }
+
+    # re-launch: no corpus supplied — completed checkpoints must carry it
+    summary = ERPipeline(spark, run_dir, CFG).run(corpus=None)
+    assert all(m["complete"] for m in summary.values())
+    for s, t in stamps.items():
+        assert summary[s]["written_at"] == t, f"stage {s} was re-run"
+    assert _content_hash(crashed) == want

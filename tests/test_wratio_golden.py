@@ -45,6 +45,19 @@ GOLDENS = [
     ("", "x", 0.0),
     ("x", "", 0.0),
     ("", "", 0.0),
+    # round-3 arm completion (VERDICT r02 item 8): the full-ratio arm and
+    # the partial_token arm must WIN in both scaled branches.
+    # ratio wins at lr=3 (0.9 branch): letters 3 apart -> every len-3
+    # window holds one letter (window ratio 33.3*0.9=30 < ratio 50)
+    ("abc", "a" + "x" * 3 + "b" + "x" * 3 + "c", 50.0),
+    # ratio wins at lr=8 exactly (0.6 branch): 200*3/27 = 22.22 beats
+    # 33.3*0.6 = 20 and 33.3*0.57 = 19
+    ("abc", "a" + "x" * 10 + "b" + "x" * 11 + "c", 200.0 * 3 / 27),
+    # partial_token wins at lr=5 (0.9): shared token set -> ptsr=100 ->
+    # 100*0.95*0.9 = 85.5 beats partial 60*0.9=54 and ratio 20
+    ("ab cd", "cd ab " + "x" * 19, 85.5),
+    # partial_token wins at lr=8 (0.6): 100*0.95*0.6 = 57 beats 36, 13.3
+    ("ab cd", "cd ab " + "x" * 34, 57.0),
 ]
 
 
@@ -106,3 +119,34 @@ def test_ratio_matches_lcs_formula(a, b):
     total = len(a) + len(b)
     exp = 100.0 if total == 0 else 100.0 * 2 * lcs_length(a, b) / total
     assert math.isclose(ratio(a, b), exp, abs_tol=1e-9)
+
+
+def test_wratio_goldens_cover_every_branch_line():
+    """Trace-based branch audit (VERDICT r02 item 8): the golden table must
+    execute EVERY line of the wratio composite — empty guard, the <1.5
+    token branch, both scale assignments, and all three max() arms winning
+    somewhere (pinned by the arm-specific goldens above)."""
+    import sys
+
+    from polyfuzz_spark.scorers import kernels
+
+    code = kernels.wratio.__code__
+    want = {
+        ln for (_, _, ln) in code.co_lines()
+        if ln is not None and ln > code.co_firstlineno
+    }
+    hit = set()
+
+    def tr(frame, event, arg):
+        if frame.f_code is code and event == "line":
+            hit.add(frame.f_lineno)
+        return tr
+
+    sys.settrace(tr)
+    try:
+        for a, b, _ in GOLDENS:
+            kernels.wratio(a, b)
+    finally:
+        sys.settrace(None)
+    missing = want - hit
+    assert not missing, f"wratio lines never executed: {sorted(missing)}"
