@@ -60,6 +60,11 @@ class ERConfig:
     bands: int = 16
     max_bucket_size: int | None = 2000
     min_shared_bands: int = 1
+    # hot-bucket policy for blocking: "drop" (cap discards members — the
+    # round-2 default) or "salt" (recall-preserving salted grid join up to
+    # max_bucket_size*max_salt members per bucket, mapside._salted_sides)
+    hot_bucket: str = "drop"
+    max_salt: int = 16
     min_similarity: float = 0.8
     link_min_similarity: float = 0.8
     top_n: int = 5
@@ -204,6 +209,8 @@ class ERPipeline:
                 max_bucket_size=cfg.max_bucket_size,
                 min_shared_bands=cfg.min_shared_bands,
                 emit_both=False,
+                hot_bucket=cfg.hot_bucket,
+                max_salt=cfg.max_salt,
             )
             self._checkpoint(
                 "candidates", cands,

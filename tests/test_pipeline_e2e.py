@@ -347,3 +347,26 @@ def test_crash_after_scores_resumes_hash_equal(spark, tmp_path, monkeypatch):
     for s, t in stamps.items():
         assert summary[s]["written_at"] == t, f"stage {s} was re-run"
     assert _content_hash(crashed) == want
+
+
+def test_pipeline_salted_hot_buckets_recover_dropped_recall(spark, tmp_path):
+    """ERConfig(hot_bucket='salt') must recover the pairs a tight drop cap
+    loses: same corpus, same cap, salted F1 >= dropped F1 and >= 0.99."""
+    corpus = generate_corpus(spark, n_entities=80, seed=11)
+    labels = corpus.select("doc_id", "entity_id")
+
+    def f1(run_dir, hot_bucket):
+        cfg = ERConfig(
+            min_similarity=0.6, link_min_similarity=0.6,
+            max_bucket_size=4, hot_bucket=hot_bucket,
+        )
+        pipe = ERPipeline(spark, str(tmp_path / run_dir), cfg)
+        pipe.run(corpus)
+        return pairwise_f1(
+            pipe.read("candidates"), labels, pipe.read("clusters")
+        )["f1"]
+
+    salted = f1("salt", "salt")
+    dropped = f1("drop", "drop")
+    assert salted >= 0.99, salted
+    assert salted >= dropped, (salted, dropped)
