@@ -215,16 +215,33 @@ def tfidf_transform_topk(
     dim = model.idf.count()
     n_to = to_df.count()
     if dense_cosine.fits_broadcast(n_to, dim):
-        new_vec = vectorize(model, new_from, key_col, id_col=id_col)
-        if to_vec is None:
-            to_vec = vectorize(model, to_df, key_col, id_col=id_col)
-        # the dense scorer makes several passes per input (vocab union,
-        # counts, matrix collect, stream) — truncate both lineages once
-        return dense_cosine.tfidf_dense_topk(
-            new_vec.localCheckpoint(eager=True),
-            to_vec.localCheckpoint(eager=True),
+        if to_vec is not None:
+            # caller-supplied relational serving index (reused across
+            # transform calls): the term-row dense scorer path
+            new_vec = vectorize(model, new_from, key_col, id_col=id_col)
+            # the dense scorer makes several passes per input (vocab
+            # union, counts, matrix collect, stream) — truncate both
+            # lineages once
+            return dense_cosine.tfidf_dense_topk(
+                new_vec.localCheckpoint(eager=True),
+                to_vec.localCheckpoint(eager=True),
+                top_n=top_n,
+                min_similarity=min_similarity,
+            )
+        # default dense path: MAP-SIDE packed vectorization on both sides
+        # (value-identical float64 to the relational vectorize) feeding the
+        # packed two-list matmul kernel — no |docs|×|grams| exploded
+        # shuffle, no window norm, no per-input localCheckpoint (each side
+        # is consumed exactly once: to collects, from streams)
+        from .mapside import vectorize_packed_mapside
+
+        return dense_cosine.tfidf_dense_topk_packed_two(
+            vectorize_packed_mapside(model, new_from, key_col, id_col=id_col),
+            vectorize_packed_mapside(model, to_df, key_col, id_col=id_col),
+            dim,
             top_n=top_n,
             min_similarity=min_similarity,
+            n_to=n_to,
         )
 
     # blocked branch: MAP-SIDE packed vectorization (the ER-pipeline scale

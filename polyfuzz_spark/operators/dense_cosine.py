@@ -191,16 +191,36 @@ def tfidf_dense_topk_packed(
     matrix: callers over the ``fits_broadcast`` budget are refused and must
     take ``operators.adaptive.tfidf_selfmatch_topk``'s blocked path).
     ``n_docs``: pre-computed row count (skips the extra count job)."""
-    spark = packed.sparkSession
-    if n_docs is None:
-        n_docs = packed.count()
-    if not fits_broadcast(n_docs, dim):
+    return tfidf_dense_topk_packed_two(
+        packed, packed, dim, top_n=top_n, min_similarity=min_similarity,
+        exclude_self=exclude_self, n_to=n_docs,
+    )
+
+
+def tfidf_dense_topk_packed_two(
+    from_packed: DataFrame,
+    to_packed: DataFrame,
+    dim: int,
+    top_n: int = 1,
+    min_similarity: float = 0.0,
+    exclude_self: bool = False,
+    n_to: int | None = None,
+) -> DataFrame:
+    """Two-list dense top-n over PACKED vectors: the TO-side is collected
+    into the broadcast matrix (bounded by ``fits_broadcast``), the
+    from-side streams through the batch-matmul kernel — the transform-time
+    twin of ``tfidf_dense_topk_packed``. Both sides MUST come from the
+    same model's ``vectorize_packed_mapside`` (shared dense vocab ids)."""
+    spark = to_packed.sparkSession
+    if n_to is None:
+        n_to = to_packed.count()
+    if not fits_broadcast(n_to, dim):
         raise ValueError(
-            f"corpus ({n_docs} docs x {dim} terms) exceeds the dense "
-            "broadcast budget; use operators.adaptive.tfidf_selfmatch_topk "
-            "(blocked LSH + exact re-score)"
+            f"to-side ({n_to} docs x {dim} terms) exceeds the dense "
+            "broadcast budget; use the blocked path "
+            "(operators.adaptive.tfidf_transform_topk routes it)"
         )
-    rows = packed.collect()
+    rows = to_packed.collect()
     to_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     to_mat = np.zeros((len(rows), dim))
     for i, r in enumerate(rows):
@@ -213,10 +233,10 @@ def tfidf_dense_topk_packed(
         min_similarity > 0
     ) else 0
     renamed = _spread(
-        packed.select(
+        from_packed.select(
             "doc_id", F.col("t").alias("tids"), F.col("w").alias("ws")
         ),
-        n_docs,
+        n_to,
     )
     return renamed.mapInPandas(
         _topk_batches(bc_ids, bc_mat, top_n, min_milli, exclude_self),
