@@ -82,6 +82,128 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+_SELF_MASK = -(1 << 62)  # sentinel milli for masked self-pairs
+_Q_CHUNK = 2048  # bounds the per-kernel similarity matrix to chunk × |cell|
+
+
+def _grouped_topk(
+    tagged: DataFrame,
+    bucket_cols: list[str],
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Per-bucket exact top-k: ``tagged`` holds BOTH sides of each bucket
+    (``is_q`` flags query rows; ``id``/``v`` are the id and L2-normalized
+    vector), grouped by ``bucket_cols``; one numpy matmul per bucket scores
+    every (query, member) pair in it and emits each query's local top-k by
+    (cos_milli DESC, neighbor_id ASC).
+
+    This replaces the old shape — materialize all candidate PAIRS, re-join
+    both vector sides onto them, evaluate a JVM ``aggregate(zip_with)`` dot
+    per pair, then window over millions of rows — with one bucket-key
+    shuffle and a BLAS matmul per group. The local-top-k → global-top-k
+    reduction is exact: (cos_milli DESC, neighbor_id ASC) is a total order
+    within a bucket (member ids are unique per bucket), so any pair in the
+    global top-k is within the top-k of every bucket that contains it.
+    Per-group memory is bounded by ``_Q_CHUNK × |members|`` (queries are
+    chunked); the caller bounds |members| via its bucket geometry
+    (IVF: ≈ n/n_cells; LSH: bucket population) and bounds the queries per
+    group via salting when buckets are few or hot."""
+    def kern(pdf):
+        import pandas as pd
+
+        q = pdf[pdf["is_q"]]
+        c = pdf[~pdf["is_q"]]
+        if not len(q) or not len(c):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cos_milli": pd.Series(dtype="int64")}
+            )
+        # member order = neighbor_id ASC so that a stable argsort on
+        # -milli yields exactly the (milli DESC, neighbor_id ASC) contract
+        c = c.sort_values("id")
+        c_ids = c["id"].to_numpy()
+        C = np.array([np.asarray(v) for v in c["v"]])
+        q_ids_all = q["id"].to_numpy()
+        Q_all = np.array([np.asarray(v) for v in q["v"]])
+        out_q, out_n, out_m = [], [], []
+        kk = min(k, len(c_ids))
+        for lo in range(0, len(q_ids_all), _Q_CHUNK):
+            q_ids = q_ids_all[lo:lo + _Q_CHUNK]
+            milli = np.floor(
+                (Q_all[lo:lo + _Q_CHUNK] @ C.T) * 1000 + 0.5
+            ).astype(np.int64)
+            if exclude_self:
+                milli[q_ids[:, None] == c_ids[None, :]] = _SELF_MASK
+            idx = np.argsort(-milli, axis=1, kind="stable")[:, :kk]
+            top = np.take_along_axis(milli, idx, axis=1)
+            keep = top > _SELF_MASK
+            out_q.append(np.repeat(q_ids, kk)[keep.ravel()])
+            out_n.append(c_ids[idx.ravel()][keep.ravel()])
+            out_m.append(top.ravel()[keep.ravel()])
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q),
+             "neighbor_id": np.concatenate(out_n),
+             "cos_milli": np.concatenate(out_m)}
+        )
+
+    local = tagged.groupBy(*bucket_cols).applyInPandas(
+        kern, schema="query_id long, neighbor_id long, cos_milli long"
+    )
+    # a (query, neighbor) pair can surface from several buckets (LSH
+    # tables; query-salt replicas) with an identical score — max() is the
+    # dedup. The surviving set is tiny (≤ buckets_probed × k per query).
+    dd = local.groupBy("query_id", "neighbor_id").agg(
+        F.max("cos_milli").alias("cos_milli")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_milli"), F.asc("neighbor_id")
+    )
+    return (
+        dd.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_milli")
+    )
+
+
+def _salt_for(n_buckets: int, parallelism: int) -> int:
+    """Query-side salt so few/hot buckets still fan out: split each
+    bucket's queries across ``s`` sub-groups (members replicated ``s``×),
+    keeping total groups ≈ 4× the core count without inflating the member
+    shuffle when buckets are already plentiful."""
+    return max(1, -(-4 * parallelism // max(n_buckets, 1)))
+
+
+def _tag_and_salt(
+    q_rows: DataFrame,
+    c_rows: DataFrame,
+    bucket_cols: list[str],
+    salt: int,
+) -> tuple[DataFrame, list[str]]:
+    """Union the two sides of every bucket under one schema; with
+    ``salt > 1`` queries hash into a salt lane and members are replicated
+    across all lanes (recall-neutral: every (q, c) bucket pair still
+    co-occurs in exactly the query's lane)."""
+    q_t = q_rows.select(
+        *bucket_cols, F.col("query_id").alias("id"),
+        F.col("v"), F.lit(True).alias("is_q"),
+    )
+    c_t = c_rows.select(
+        *bucket_cols, F.col("neighbor_id").alias("id"),
+        F.col("v"), F.lit(False).alias("is_q"),
+    )
+    if salt <= 1:
+        return q_t.unionByName(c_t), bucket_cols
+    q_t = q_t.withColumn(
+        "qs", F.pmod(F.xxhash64("id"), F.lit(salt)).cast("int")
+    )
+    c_t = c_t.withColumn(
+        "qs", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return q_t.unionByName(c_t), bucket_cols + ["qs"]
+
+
 def _spherical_kmeans(X: np.ndarray, n_cells: int, seed: int,
                       iters: int = 10) -> np.ndarray:
     """Lloyd's iterations with cosine assignment on L2-normalized rows:
@@ -175,52 +297,34 @@ def ivf_cosine_topk(
                 else:
                     t = min(top, sims.shape[1])
                     cells = np.argpartition(-sims, t - 1, axis=1)[:, :t]
-                ids = np.repeat(pdf[id_name].to_numpy(), cells.shape[1])
+                n_rep = cells.shape[1]
                 yield pd.DataFrame(
-                    {id_name: ids, "cell": cells.ravel().astype(np.int32)}
+                    {id_name: np.repeat(pdf[id_name].to_numpy(), n_rep),
+                     "cell": cells.ravel().astype(np.int32),
+                     # the normalized vector rides along to the scoring
+                     # kernel — ~dim·8 B per row beats re-joining the full
+                     # vector table onto every candidate PAIR downstream
+                     "v": [v for v in pdf[vec_name] for _ in range(n_rep)]}
                 )
 
         return gen
 
+    vec_t = "v array<double>"
     c_cells = c.select("neighbor_id", "c_vec").mapInPandas(
         cell_rows("neighbor_id", "c_vec", 1),
-        schema="neighbor_id long, cell int",
+        schema=f"neighbor_id long, cell int, {vec_t}",
     )
     q_cells = q.select("query_id", "q_vec").mapInPandas(
         cell_rows("query_id", "q_vec", n_probe),
-        schema="query_id long, cell int",
+        schema=f"query_id long, cell int, {vec_t}",
     )
-    # the cell join's OUTPUT is ~n_probe·n/n_cells rows per query while its
-    # input is tiny — pre-spread it so AQE's input-size coalescing doesn't
-    # squeeze the scoring onto a few tasks
-    n_part = spark.sparkContext.defaultParallelism * 4
-    cand = (
-        q_cells.repartition(n_part, "cell")
-        .join(c_cells, "cell")
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    if exclude_self:
-        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.floor(_dot("q_vec", "c_vec") * 1000 + F.lit(0.5))
-            .cast("bigint")
-            .alias("cos_milli"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_milli"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_milli")
-    )
+    # one numpy matmul per (cell [, salt lane]) scores every probing query
+    # against the cell's members — no pair materialization, no per-pair
+    # JVM dot, no window over the candidate blow-up. Salt keeps task
+    # fan-out ≈ 4×cores when n_cells < cores and bounds hot-cell groups.
+    salt = _salt_for(n_cells, spark.sparkContext.defaultParallelism)
+    tagged, keys = _tag_and_salt(q_cells, c_cells, ["cell"], salt)
+    return _grouped_topk(tagged, keys, k, exclude_self)
 
 
 def lsh_cosine_topk(
@@ -279,40 +383,29 @@ def lsh_cosine_topk(
                 ids = np.repeat(pdf[id_name].to_numpy(), n_tables)
                 tbls = np.tile(np.arange(n_tables), len(pdf))
                 yield pd.DataFrame(
-                    {id_name: ids, "tbl": tbls, "bk": keys.ravel()}
+                    {id_name: ids, "tbl": tbls, "bk": keys.ravel(),
+                     # vector rides along to the per-bucket scoring kernel
+                     "v": [v for v in pdf["v"] for _ in range(n_tables)]}
                 )
 
         return gen
 
+    vec_t = "v array<double>"
     qb = q.select(F.col("query_id"), F.col("q_vec").alias("v")).mapInPandas(
-        bucket_rows("query_id"), schema="query_id long, tbl int, bk long"
+        bucket_rows("query_id"),
+        schema=f"query_id long, tbl int, bk long, {vec_t}",
     )
     cb = c.select(
         F.col("neighbor_id"), F.col("c_vec").alias("v")
     ).mapInPandas(
-        bucket_rows("neighbor_id"), schema="neighbor_id long, tbl int, bk long"
-    ).withColumnRenamed("tbl", "tbl2").withColumnRenamed("bk", "bk2")
-    cand = qb.join(
-        cb, (F.col("tbl") == F.col("tbl2")) & (F.col("bk") == F.col("bk2"))
-    ).select("query_id", "neighbor_id").distinct()
-    if exclude_self:
-        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.floor(_dot("q_vec", "c_vec") * 1000 + F.lit(0.5))
-            .cast("bigint")
-            .alias("cos_milli"),
-        )
+        bucket_rows("neighbor_id"),
+        schema=f"neighbor_id long, tbl int, bk long, {vec_t}",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_milli"), F.asc("neighbor_id")
+    # one matmul per (table, bucket [, salt lane]); a pair found in
+    # several tables dedups in _grouped_topk's (query, neighbor) max.
+    salt = _salt_for(
+        n_tables * (1 << n_planes),
+        queries.sparkSession.sparkContext.defaultParallelism,
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_milli")
-    )
+    tagged, keys = _tag_and_salt(qb, cb, ["tbl", "bk"], salt)
+    return _grouped_topk(tagged, keys, k, exclude_self)
