@@ -1,0 +1,89 @@
+"""Deterministic (rescan-stable) sampling for training-data pipelines.
+
+A 100 TB corpus is never sampled with ``df.sample()`` in production: its
+Bernoulli draw depends on partition layout and seed plumbing, so a re-run
+after a repartition (or a second consumer of the same pipeline) sees a
+DIFFERENT subset. The verbs here key every keep/drop decision on a hash of
+a stable row key instead — the same row is kept by every scan, every
+executor count, every engine (the md5 backing makes the decision
+reproducible in DuckDB/Trino/anything, which is also what makes the
+contract query exactly oracle-checkable).
+
+Shapes: pure map-side filters — no shuffle, no state, pushdown-friendly
+(the filter sits directly over the scan). Rate changes are monotone:
+raising a stratum's rate only ADDs rows to the kept set (the u-threshold
+test keeps every row the lower rate kept), the property that lets a
+pipeline grow a sample without resampling history.
+
+The reference has no sampling surface (single-process pandas never needs
+one); this module is part of the engine's training-data extensions, like
+``operators/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 12 hex digits = 48 bits: fits a double's 53-bit mantissa exactly, so
+# u = h / 2^48 is EXACT in IEEE double and the `u < rate` comparison is
+# bit-identical across engines (no 60-bit mantissa rounding to reason about)
+_HEX_DIGITS = 12
+_DENOM = float(1 << (4 * _HEX_DIGITS))
+
+
+def deterministic_uniform(key_col: str, salt: str = "") -> Column:
+    """U[0,1) driven only by (row key, salt): u = md5(key ':' salt)[0:12
+    hex] / 2^48. Same key → same u on every scan and in every md5-capable
+    engine. Change ``salt`` to draw an independent sample."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))),
+            1,
+            _HEX_DIGITS,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h / F.lit(_DENOM)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff its deterministic uniform < ``rate``. Map-side
+    filter; rescan-stable; monotone in ``rate``."""
+    return df.where(deterministic_uniform(key_col, salt) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weighting verb of a
+    training-data pipeline (downsample the over-represented language /
+    source, keep the rare one whole). ``rates`` maps stratum value → keep
+    rate; unlisted strata use ``default_rate``. One map-side CASE + hash
+    filter, no shuffle."""
+    rate: Column = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == F.lit(value), F.lit(float(r))).otherwise(
+            rate
+        )
+    return df.where(deterministic_uniform(key_col, salt) < rate)
+
+
+def sample_oracle_predicate(
+    key_sql: str, rate_sql: str, salt: str = ""
+) -> str:
+    """The DuckDB twin of the keep-predicate (shared so the contract query
+    and its oracle cannot drift): same md5, same 12-hex slice, same 2^48
+    denominator."""
+    return (
+        f"('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':' || '{salt}'), "
+        f"1, {_HEX_DIGITS}))::BIGINT / {_DENOM!r} < {rate_sql}"
+    )

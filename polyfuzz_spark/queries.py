@@ -528,6 +528,39 @@ WHERE rep.v IS NULL OR rep.r = d.doc_id
 """
 
 
+SAMPLE_RATES = {"en": 0.25, "zh": 0.5}
+SAMPLE_DEFAULT = 0.75
+SAMPLE_SALT = "r3"
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (mixture weighting): keep
+    25% of the over-represented `en`, 50% of `zh`, 75% of everything else,
+    every decision keyed on md5(doc_id) so the subset is rescan-stable and
+    engine-portable (functions/sampling.py). One map-side filter directly
+    over the scan — no shuffle, rates monotone (raising a rate only adds
+    rows). No reference analog (single-process pandas never samples);
+    training-data-pipeline extension."""
+    from .functions.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = stratified_sample(
+        docs, "doc_id", "lang", SAMPLE_RATES, SAMPLE_DEFAULT, salt=SAMPLE_SALT
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+def _sample_oracle() -> str:
+    from .functions.sampling import sample_oracle_predicate
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    rate = f"CASE lang {cases} ELSE {SAMPLE_DEFAULT} END"
+    pred = sample_oracle_predicate("doc_id", rate, salt=SAMPLE_SALT)
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dups
 
@@ -708,6 +741,65 @@ pairs AS (
 )
 SELECT from_id, to_id, cos_milli FROM pairs
 WHERE cos_milli >= {int(EMB_DUP_T * 1000)}
+"""
+
+
+def q_dedup_corpus_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) corpus dedup — the materialized verb over
+    the COSINE near-dup graph, the twin of text-space ``dedup_corpus``:
+    exact pairs at cos ≥ EMB_DEDUP_T (LSH-bucketed above the broadcast
+    budget) → transitive clusters → min-id survivors. Emits a content
+    probe (first embedding component in micro units) alongside the id so
+    the oracle checks surviving CONTENT, not just ids. EMB_DEDUP_T sits
+    above the pair query's EMB_DUP_T: at 0.3 this corpus's near-dup graph
+    is one giant component (everything dedups to a single survivor), while
+    0.4 carves real duplicate clusters (60 pairs at sf0.01, 932 at
+    sf0.1)."""
+    from .operators.dedup import dedup_corpus
+    from .operators.dense_cosine import embedding_near_dup_pairs
+
+    e = _embs(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(
+        e, threshold=EMB_DEDUP_T, lsh_conf={"n_planes": 4, "n_tables": 10}
+    )
+    kept = dedup_corpus(e, pairs, id_col="vec_id")
+    return kept.select(
+        "vec_id",
+        F.floor(
+            F.element_at(F.col("embedding").cast("array<double>"), 1) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("e0_micro"),
+    )
+
+
+EMB_DEDUP_T = 0.4
+
+ORACLE_DEDUP_CORPUS_EMB = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS from_id, b.vec_id AS to_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000 + 0.5) AS BIGINT)
+        >= {int(EMB_DEDUP_T * 1000)}
+),
+sym AS (SELECT from_id AS a, to_id AS b FROM pairs
+        UNION SELECT to_id AS a, from_id AS b FROM pairs),
+reach(v, r) AS (
+  SELECT a AS v, a AS r FROM sym
+  UNION
+  SELECT s.b AS v, reach.r FROM sym s JOIN reach ON s.a = reach.v
+),
+rep AS (SELECT v, min(r) AS r FROM reach GROUP BY v)
+SELECT d.vec_id,
+       CAST(floor(CAST(d.embedding[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         AS e0_micro
+FROM embeddings d
+LEFT JOIN rep ON d.vec_id = rep.v
+WHERE rep.v IS NULL OR rep.r = d.vec_id
 """
 
 
@@ -1076,6 +1168,8 @@ def all_queries():
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_corpus_embedding": q_dedup_corpus_embedding,
+        "sample_stratified": q_sample_stratified,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
         "docs_by_lang_source": q_docs_by_lang_source,
@@ -1107,6 +1201,8 @@ def all_oracles():
         "ngram_jaccard_dups": ORACLE_JACCARD,
         "minhash_near_dups": ORACLE_MINHASH,
         "dedup_corpus": ORACLE_DEDUP_CORPUS,
+        "dedup_corpus_embedding": ORACLE_DEDUP_CORPUS_EMB,
+        "sample_stratified": _sample_oracle(),
         "simhash_near_dups": ORACLE_SIMHASH,
         # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only;
         # the IVF machinery itself is oracle-exact via the full-probe twin

@@ -78,7 +78,8 @@ NO_NESTED_LOOP = [
     "doc_stats", "docs_by_lang_source", "embedding_cosine_top3",
     "embedding_near_dups", "embedding_knn_lsh", "embedding_knn_ivf",
     "media_features", "media_frames", "top_terms", "events_hourly",
-    "user_sessions", "dedup_corpus",
+    "user_sessions", "dedup_corpus", "dedup_corpus_embedding",
+    "sample_stratified",
 ]
 
 

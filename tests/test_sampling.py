@@ -1,0 +1,80 @@
+"""Deterministic sampling (functions/sampling.py): rescan stability,
+monotone rates, per-stratum rate accuracy, shuffle-free plan. The exact
+DuckDB twin of the contract query is covered by test_queries_oracle."""
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from polyfuzz_spark.functions.sampling import (
+    deterministic_sample,
+    deterministic_uniform,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_rescan_stable_and_partitioning_invariant(spark, docs):
+    a = sorted(
+        r.doc_id for r in deterministic_sample(docs, "doc_id", 0.4).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in deterministic_sample(
+            docs.repartition(7, "lang"), "doc_id", 0.4
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_rate_monotone_supersets(spark, docs):
+    small = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    big = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.6).collect()}
+    assert small < big
+
+
+def test_salt_draws_independent_sample(spark, docs):
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5, salt="x").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5, salt="y").collect()}
+    assert a != b
+    # independent coin flips: overlap ≈ rate² of the corpus, loosely bounded
+    n = docs.count()
+    assert 0.1 * n < len(a & b) < 0.4 * n
+
+
+def test_stratified_rates_land_near_targets(spark, docs):
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1}, default_rate=0.9
+    )
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    en_rate = got.get("en", 0) / tot["en"]
+    rest_rate = sum(v for k, v in got.items() if k != "en") / sum(
+        v for k, v in tot.items() if k != "en"
+    )
+    assert en_rate < 0.25, en_rate          # 0.1 target, 218-doc stratum
+    assert rest_rate > 0.8, rest_rate       # 0.9 target
+
+    # u is a genuine uniform: its mean over the corpus sits near 0.5
+    mean_u = docs.select(
+        F.avg(deterministic_uniform("doc_id")).alias("m")
+    ).collect()[0]["m"]
+    assert 0.45 < mean_u < 0.55
+
+
+def test_sample_plan_is_shuffle_free_filter_over_scan(spark, docs):
+    plan_df = deterministic_sample(docs.select("doc_id", "lang"), "doc_id", 0.3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Filter" in plan and "Scan parquet" in plan
