@@ -577,6 +577,52 @@ def dedup_corpus(
     return drop_non_representatives(docs, assignments, id_col, "rep_id")
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/test split that cannot leak near-duplicates across the
+    boundary: transitively cluster the near-dup ``pairs``, then assign each
+    whole CLUSTER to a split by a deterministic hash of its representative
+    (singletons hash on their own id). A per-document split would put two
+    near-identical documents on opposite sides — the classic eval
+    contamination; hashing the cluster rep makes the boundary respect the
+    duplicate graph, rescan-stable, and monotone in ``train_frac``.
+
+    Returns ``docs`` plus ``group_rep`` (the cluster representative, =
+    ``id_col`` for singletons) and ``split`` ('train'/'test'). Scale
+    shape: clustering reuses the adaptive ``connected_components`` tiers;
+    the rep attach is one left equi-join of docs against the (clustered
+    nodes only) assignment table; the split itself is a map-side md5
+    filter (functions/sampling.py). Training-data-pipeline extension; no
+    reference analog."""
+    from ..functions.sampling import deterministic_uniform
+    from .linkage import connected_components
+
+    id_type = docs.schema[id_col].dataType
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
+    edges = pairs.select(pad("from_id").alias("src"), pad("to_id").alias("dst"))
+    assignments = connected_components(edges).select(
+        F.col("key").cast(id_type).alias(id_col),
+        F.col("representative").cast(id_type).alias("rep_id"),
+    )
+    with_rep = (
+        docs.join(assignments, id_col, "left")
+        .withColumn("group_rep", F.coalesce(F.col("rep_id"), F.col(id_col)))
+        .drop("rep_id")
+    )
+    return with_rep.withColumn(
+        "split",
+        F.when(
+            deterministic_uniform("group_rep", salt) < F.lit(float(train_frac)),
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )
+
+
 def drop_non_representatives(
     docs: DataFrame,
     assignments: DataFrame,

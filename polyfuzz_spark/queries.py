@@ -528,6 +528,71 @@ WHERE rep.v IS NULL OR rep.r = d.doc_id
 """
 
 
+SPLIT_TRAIN_FRAC = 0.8
+SPLIT_SALT = "split"
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-dup clusters (same MinHash pair
+    graph as ``dedup_corpus``) assigned to a split ATOMICALLY by hashing
+    the cluster representative — no near-duplicate ever straddles the
+    train/test boundary (the eval-contamination guard every training-data
+    pipeline needs). Singletons hash on their own id."""
+    from .operators.dedup import leakage_safe_split, minhash_near_dups
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    pairs = minhash_near_dups(docs, n=3, threshold=MINHASH_T)
+    out = leakage_safe_split(
+        docs, pairs, id_col="doc_id",
+        train_frac=SPLIT_TRAIN_FRAC, salt=SPLIT_SALT,
+    )
+    return out.select("doc_id", "group_rep", "split")
+
+
+def _split_oracle() -> str:
+    from .functions.sampling import sample_oracle_predicate
+
+    # same exact-Jaccard pair graph + recursive closure as
+    # ORACLE_DEDUP_CORPUS; the split twin additionally keeps singletons
+    # (LEFT JOIN + COALESCE onto their own id) and applies the shared
+    # md5 keep-predicate to the representative
+    pred = sample_oracle_predicate(
+        "COALESCE(rep.r, d.doc_id)", str(SPLIT_TRAIN_FRAC), salt=SPLIT_SALT
+    )
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, length(text) - 2), i -> substring(text, i, 3)))) AS term
+  FROM documents WHERE length(text) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS from_id, b.doc_id AS to_id, count(*) AS c
+  FROM g a JOIN g b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT from_id, to_id FROM inter
+  JOIN sz sa ON from_id = sa.doc_id
+  JOIN sz sb ON to_id = sb.doc_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= {MINHASH_T}
+),
+sym AS (SELECT from_id AS a, to_id AS b FROM pairs
+        UNION SELECT to_id AS a, from_id AS b FROM pairs),
+reach(v, r) AS (
+  SELECT a AS v, a AS r FROM sym
+  UNION
+  SELECT s.b AS v, reach.r FROM sym s JOIN reach ON s.a = reach.v
+),
+rep AS (SELECT v, min(r) AS r FROM reach GROUP BY v)
+SELECT d.doc_id,
+       COALESCE(rep.r, d.doc_id) AS group_rep,
+       CASE WHEN {pred} THEN 'train' ELSE 'test' END AS split
+FROM documents d
+LEFT JOIN rep ON d.doc_id = rep.v
+"""
+
+
 SAMPLE_RATES = {"en": 0.25, "zh": 0.5}
 SAMPLE_DEFAULT = 0.75
 SAMPLE_SALT = "r3"
@@ -1170,6 +1235,7 @@ def all_queries():
         "dedup_corpus": q_dedup_corpus,
         "dedup_corpus_embedding": q_dedup_corpus_embedding,
         "sample_stratified": q_sample_stratified,
+        "train_test_split": q_train_test_split,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
         "docs_by_lang_source": q_docs_by_lang_source,
@@ -1203,6 +1269,7 @@ def all_oracles():
         "dedup_corpus": ORACLE_DEDUP_CORPUS,
         "dedup_corpus_embedding": ORACLE_DEDUP_CORPUS_EMB,
         "sample_stratified": _sample_oracle(),
+        "train_test_split": _split_oracle(),
         "simhash_near_dups": ORACLE_SIMHASH,
         # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only;
         # the IVF machinery itself is oracle-exact via the full-probe twin

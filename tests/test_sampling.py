@@ -70,6 +70,34 @@ def test_stratified_rates_land_near_targets(spark, docs):
     assert 0.45 < mean_u < 0.55
 
 
+def test_leakage_safe_split_keeps_pairs_together(spark, docs):
+    """No near-dup pair may straddle the train/test boundary, and both
+    splits must be non-trivially populated."""
+    from polyfuzz_spark.operators.dedup import (
+        leakage_safe_split,
+        minhash_near_dups,
+    )
+
+    d = docs.select("doc_id", F.col("text").alias("key"))
+    pairs = minhash_near_dups(d, n=3, threshold=0.6)
+    out = leakage_safe_split(d, pairs, train_frac=0.8).select(
+        "doc_id", "split"
+    )
+    leaked = (
+        pairs.join(out.withColumnRenamed("doc_id", "from_id"), "from_id")
+        .withColumnRenamed("split", "s_from")
+        .join(out.withColumnRenamed("doc_id", "to_id"), "to_id")
+        .where(F.col("split") != F.col("s_from"))
+        .count()
+    )
+    assert leaked == 0
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert counts.get("train", 0) > 0.6 * n
+    assert counts.get("test", 0) > 0.05 * n
+
+
 def test_sample_plan_is_shuffle_free_filter_over_scan(spark, docs):
     plan_df = deterministic_sample(docs.select("doc_id", "lang"), "doc_id", 0.3)
     buf = io.StringIO()
