@@ -77,6 +77,79 @@ def stratified_sample(
     return df.where(deterministic_uniform(key_col, salt) < rate)
 
 
+def mixture_resample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Curate the LARGEST deterministic subset whose strata hit the target
+    ``weights`` proportions exactly in expectation (downsampling only —
+    never upsampling): the mixture-specification verb of a training-data
+    pipeline ("make the corpus 50% en / 25% es / 25% de"). Strata absent
+    from ``weights`` are dropped (a mixture spec is exhaustive by intent).
+
+    The feasible size is capped by the scarcest stratum relative to its
+    weight: m = min_s(count_s / w_s); each stratum then keeps
+    rate_s = m * w_s / count_s via the deterministic hash filter.
+
+    Driver-side data: one aggregated row PER STRATUM (languages/sources —
+    inherently small; this is an agg result, not a corpus collect). Scale
+    shape: one map-side-combined count shuffle to derive rates, then a
+    pure map-side filter. Returns (filtered df, the rate map) so callers
+    can log/manifest the realized rates."""
+    counts = {
+        r["s"]: r["c"]
+        for r in df.where(F.col(strata_col).isin(list(weights)))
+        .groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    if not counts:
+        return df.where(F.lit(False)), {}
+    m = min(counts[s] / weights[s] for s in counts)
+    rates = {s: m * weights[s] / counts[s] for s in counts}
+    kept = df.where(F.col(strata_col).isin(list(counts)))
+    return stratified_sample(
+        kept, key_col, strata_col, rates, default_rate=0.0, salt=salt
+    ), rates
+
+
+def mixture_oracle_sql(
+    table: str,
+    key_sql: str,
+    strata_col: str,
+    weights: dict[str, float],
+    select_cols: str,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of ``mixture_resample``: recomputes m and the per-stratum
+    rates with the IDENTICAL double arithmetic order ((m * w) / c, counts
+    from the same table) and applies the shared keep-predicate — so the
+    oracle checks the rate DERIVATION, not just the filter."""
+    in_list = ", ".join(f"'{s}'" for s in sorted(weights))
+    w_case = "CASE " + " ".join(
+        f"WHEN cnt.{strata_col} = '{s}' THEN {w!r}"
+        for s, w in sorted(weights.items())
+    ) + " END"
+    pred = sample_oracle_predicate(key_sql, "rt.r", salt=salt)
+    return f"""
+WITH cnt AS (
+  SELECT {strata_col}, count(*) AS c FROM {table}
+  WHERE {strata_col} IN ({in_list}) GROUP BY 1
+),
+rt AS (
+  SELECT {strata_col},
+         (SELECT min(c / ({w_case})) FROM cnt) * ({w_case}) / c AS r
+  FROM cnt
+)
+SELECT {select_cols} FROM {table} d
+JOIN rt ON d.{strata_col} = rt.{strata_col}
+WHERE {pred}
+"""
+
+
 def sample_oracle_predicate(
     key_sql: str, rate_sql: str, salt: str = ""
 ) -> str:

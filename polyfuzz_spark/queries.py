@@ -626,6 +626,35 @@ def _sample_oracle() -> str:
     return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
 
 
+MIX_WEIGHTS = {"en": 0.5, "es": 0.25, "de": 0.25}
+MIX_SALT = "mix"
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture curation: the largest deterministic subset that is exactly
+    50% en / 25% es / 25% de in expectation (other languages dropped —
+    a mixture spec is exhaustive). Rates are DERIVED from the stratum
+    counts (scarcest stratum caps the feasible size); the oracle
+    recomputes the derivation with identical double arithmetic, so it
+    checks the math, not just the filter."""
+    from .functions.sampling import mixture_resample
+
+    docs = _docs(spark, sf_dir)
+    kept, _rates = mixture_resample(
+        docs, "doc_id", "lang", MIX_WEIGHTS, salt=MIX_SALT
+    )
+    return kept.select("doc_id", "lang")
+
+
+def _mixture_oracle() -> str:
+    from .functions.sampling import mixture_oracle_sql
+
+    return mixture_oracle_sql(
+        "documents", "d.doc_id", "lang", MIX_WEIGHTS,
+        "d.doc_id, d.lang", salt=MIX_SALT,
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_dups
 
@@ -1235,6 +1264,7 @@ def all_queries():
         "dedup_corpus": q_dedup_corpus,
         "dedup_corpus_embedding": q_dedup_corpus_embedding,
         "sample_stratified": q_sample_stratified,
+        "mixture_resample": q_mixture_resample,
         "train_test_split": q_train_test_split,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
@@ -1269,6 +1299,7 @@ def all_oracles():
         "dedup_corpus": ORACLE_DEDUP_CORPUS,
         "dedup_corpus_embedding": ORACLE_DEDUP_CORPUS_EMB,
         "sample_stratified": _sample_oracle(),
+        "mixture_resample": _mixture_oracle(),
         "train_test_split": _split_oracle(),
         "simhash_near_dups": ORACLE_SIMHASH,
         # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only;

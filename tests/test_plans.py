@@ -79,7 +79,7 @@ NO_NESTED_LOOP = [
     "embedding_near_dups", "embedding_knn_lsh", "embedding_knn_ivf",
     "media_features", "media_frames", "top_terms", "events_hourly",
     "user_sessions", "dedup_corpus", "dedup_corpus_embedding",
-    "sample_stratified", "train_test_split",
+    "sample_stratified", "mixture_resample", "train_test_split",
 ]
 
 

@@ -98,6 +98,21 @@ def test_leakage_safe_split_keeps_pairs_together(spark, docs):
     assert counts.get("test", 0) > 0.05 * n
 
 
+def test_mixture_resample_hits_target_proportions(spark, docs):
+    from polyfuzz_spark.functions.sampling import mixture_resample
+
+    weights = {"en": 0.5, "es": 0.25, "de": 0.25}
+    kept, rates = mixture_resample(docs, "doc_id", "lang", weights)
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(weights)        # non-mixture strata dropped
+    # the scarcest stratum (de/0.25) caps the size and keeps rate 1.0
+    assert rates["de"] == 1.0
+    tot = sum(got.values())
+    for s, w in weights.items():
+        assert abs(got[s] / tot - w) < 0.08, (s, got[s] / tot)
+
+
 def test_sample_plan_is_shuffle_free_filter_over_scan(spark, docs):
     plan_df = deterministic_sample(docs.select("doc_id", "lang"), "doc_id", 0.3)
     buf = io.StringIO()
