@@ -180,11 +180,23 @@ def _tag_and_salt(
     c_rows: DataFrame,
     bucket_cols: list[str],
     salt: int,
+    member_salt: int = 1,
 ) -> tuple[DataFrame, list[str]]:
-    """Union the two sides of every bucket under one schema; with
-    ``salt > 1`` queries hash into a salt lane and members are replicated
-    across all lanes (recall-neutral: every (q, c) bucket pair still
-    co-occurs in exactly the query's lane)."""
+    """Union the two sides of every bucket under one schema, optionally
+    splitting each bucket into a (query-lane × member-lane) grid.
+
+    ``salt`` (query lanes): queries hash into one lane, members replicate
+    across all of them — bounds the queries a single task scores.
+    ``member_salt`` (member lanes): members hash into one lane, queries
+    replicate across all of them — bounds a DEGENERATE HOT BUCKET's member
+    matrix (the one way the per-bucket kernel could concentrate a huge
+    group on one task). Both are RECALL-NEUTRAL and keep the top-k exact:
+    every (q, c) bucket pair co-occurs in exactly one grid cell
+    (q's lane × c's lane), and a per-cell top-k over a candidate SUBSET
+    still contains every global-top-k pair (the same local→global
+    total-order argument as ``_grouped_topk``); the global dedup + window
+    then merges the per-cell winners. Replication cost: queries × m,
+    members × s."""
     q_t = q_rows.select(
         *bucket_cols, F.col("query_id").alias("id"),
         F.col("v"), F.lit(True).alias("is_q"),
@@ -193,15 +205,26 @@ def _tag_and_salt(
         *bucket_cols, F.col("neighbor_id").alias("id"),
         F.col("v"), F.lit(False).alias("is_q"),
     )
-    if salt <= 1:
-        return q_t.unionByName(c_t), bucket_cols
-    q_t = q_t.withColumn(
-        "qs", F.pmod(F.xxhash64("id"), F.lit(salt)).cast("int")
-    )
-    c_t = c_t.withColumn(
-        "qs", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    )
-    return q_t.unionByName(c_t), bucket_cols + ["qs"]
+    keys = list(bucket_cols)
+    if salt > 1:
+        # cast to int so both union branches carry the same type (explode
+        # of sequence(int, int) yields int on the replicated side)
+        q_t = q_t.withColumn(
+            "qs", F.pmod(F.xxhash64("id"), F.lit(salt)).cast("int")
+        )
+        c_t = c_t.withColumn(
+            "qs", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        keys.append("qs")
+    if member_salt > 1:
+        q_t = q_t.withColumn(
+            "cs", F.explode(F.sequence(F.lit(0), F.lit(member_salt - 1)))
+        )
+        c_t = c_t.withColumn(
+            "cs", F.pmod(F.xxhash64("id"), F.lit(member_salt)).cast("int")
+        )
+        keys.append("cs")
+    return q_t.unionByName(c_t), keys
 
 
 def _spherical_kmeans(X: np.ndarray, n_cells: int, seed: int,
@@ -242,6 +265,7 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = False,
+    member_salt: int = 1,
 ) -> DataFrame:
     """Approximate top-k via an inverted file: same output contract as
     ``cosine_topk`` ((query_id, neighbor_id, rank, cos_milli)), neighbors
@@ -323,7 +347,9 @@ def ivf_cosine_topk(
     # JVM dot, no window over the candidate blow-up. Salt keeps task
     # fan-out ≈ 4×cores when n_cells < cores and bounds hot-cell groups.
     salt = _salt_for(n_cells, spark.sparkContext.defaultParallelism)
-    tagged, keys = _tag_and_salt(q_cells, c_cells, ["cell"], salt)
+    tagged, keys = _tag_and_salt(
+        q_cells, c_cells, ["cell"], salt, member_salt=member_salt
+    )
     return _grouped_topk(tagged, keys, k, exclude_self)
 
 
@@ -338,11 +364,15 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = False,
+    member_salt: int = 1,
 ) -> DataFrame:
     """Approximate top-k: same output shape as ``cosine_topk`` but neighbors
     are drawn from LSH-bucket candidates (union over n_tables independent
     sign-bit tables), exactly re-scored. Recall < 1 by design — evaluated,
-    not oracle-matched."""
+    not oracle-matched. ``member_salt`` > 1 splits each bucket's MEMBERS
+    across hash lanes (queries replicated) — the recall-neutral guard for
+    clustered corpora where too-few planes concentrate a hot bucket on one
+    task (see ``_tag_and_salt``)."""
     # each normalized side feeds bucket generation AND final re-scoring —
     # materialize once per side (self-match reuses the corpus side)
     c = _norm_vec(
@@ -407,5 +437,7 @@ def lsh_cosine_topk(
         n_tables * (1 << n_planes),
         queries.sparkSession.sparkContext.defaultParallelism,
     )
-    tagged, keys = _tag_and_salt(qb, cb, ["tbl", "bk"], salt)
+    tagged, keys = _tag_and_salt(
+        qb, cb, ["tbl", "bk"], salt, member_salt=member_salt
+    )
     return _grouped_topk(tagged, keys, k, exclude_self)
