@@ -266,6 +266,7 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     exclude_self: bool = False,
     member_salt: int = 1,
+    compact: bool = False,
 ) -> DataFrame:
     """Approximate top-k via an inverted file: same output contract as
     ``cosine_topk`` ((query_id, neighbor_id, rank, cos_milli)), neighbors
@@ -322,18 +323,27 @@ def ivf_cosine_topk(
                     t = min(top, sims.shape[1])
                     cells = np.argpartition(-sims, t - 1, axis=1)[:, :t]
                 n_rep = cells.shape[1]
+                vs = (
+                    [np.asarray(v, dtype=np.float32) for v in pdf[vec_name]]
+                    if compact
+                    else list(pdf[vec_name])
+                )
                 yield pd.DataFrame(
                     {id_name: np.repeat(pdf[id_name].to_numpy(), n_rep),
                      "cell": cells.ravel().astype(np.int32),
                      # the normalized vector rides along to the scoring
                      # kernel — ~dim·8 B per row beats re-joining the full
                      # vector table onto every candidate PAIR downstream
-                     "v": [v for v in pdf[vec_name] for _ in range(n_rep)]}
+                     "v": [v for v in vs for _ in range(n_rep)]}
                 )
 
         return gen
 
-    vec_t = "v array<double>"
+    # compact: float32 vectors through the (replicated) bucket shuffle —
+    # halves the dominant shuffle bytes and runs the kernel matmul in
+    # float32. Milli scores can flip at .0005 rounding boundaries, so the
+    # oracle-exact paths (fullprobe contract twin) must keep the default.
+    vec_t = "v array<float>" if compact else "v array<double>"
     c_cells = c.select("neighbor_id", "c_vec").mapInPandas(
         cell_rows("neighbor_id", "c_vec", 1),
         schema=f"neighbor_id long, cell int, {vec_t}",
@@ -365,6 +375,7 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     exclude_self: bool = False,
     member_salt: int = 1,
+    compact: bool = False,
 ) -> DataFrame:
     """Approximate top-k: same output shape as ``cosine_topk`` but neighbors
     are drawn from LSH-bucket candidates (union over n_tables independent
@@ -412,15 +423,22 @@ def lsh_cosine_topk(
                 keys = (bits * weights[None, None, :]).sum(axis=2)
                 ids = np.repeat(pdf[id_name].to_numpy(), n_tables)
                 tbls = np.tile(np.arange(n_tables), len(pdf))
+                vs = (
+                    [np.asarray(v, dtype=np.float32) for v in pdf["v"]]
+                    if compact
+                    else list(pdf["v"])
+                )
                 yield pd.DataFrame(
                     {id_name: ids, "tbl": tbls, "bk": keys.ravel(),
                      # vector rides along to the per-bucket scoring kernel
-                     "v": [v for v in pdf["v"] for _ in range(n_tables)]}
+                     "v": [v for v in vs for _ in range(n_tables)]}
                 )
 
         return gen
 
-    vec_t = "v array<double>"
+    # compact: see ivf_cosine_topk — float32 through the n_tables-replicated
+    # bucket shuffle (the dominant bytes of this operator)
+    vec_t = "v array<float>" if compact else "v array<double>"
     qb = q.select(F.col("query_id"), F.col("q_vec").alias("v")).mapInPandas(
         bucket_rows("query_id"),
         schema=f"query_id long, tbl int, bk long, {vec_t}",

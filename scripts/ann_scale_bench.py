@@ -96,16 +96,24 @@ def main() -> None:
     n_cells = max(64, int((n / 4000) ** 0.5) * 32)  # ~sqrt-ish growth
     res: dict = {"n": n, "dim": DIM, "cpus": cpus, "n_cells": n_cells}
 
+    # the approximate legs run compact (float32 through the replicated
+    # bucket shuffle — the scale configuration; they are rows-only by
+    # design). The exact ground-truth leg below stays float64.
+    compact = os.environ.get("ANN_BENCH_COMPACT", "1") == "1"
+    res["compact"] = compact
+
     t0 = time.monotonic()
     ivf = ivf_cosine_topk(
-        e, e, k=3, n_cells=n_cells, n_probe=8, exclude_self=True
+        e, e, k=3, n_cells=n_cells, n_probe=8, exclude_self=True,
+        compact=compact,
     ).localCheckpoint(eager=True)
     res["ivf_rows"] = ivf.count()
     res["ivf_sec"] = round(time.monotonic() - t0, 1)
 
     t0 = time.monotonic()
     lsh = lsh_cosine_topk(
-        e, e, k=3, dim=DIM, n_planes=12, n_tables=8, exclude_self=True
+        e, e, k=3, dim=DIM, n_planes=12, n_tables=8, exclude_self=True,
+        compact=compact,
     ).localCheckpoint(eager=True)
     res["lsh_rows"] = lsh.count()
     res["lsh_sec"] = round(time.monotonic() - t0, 1)

@@ -36,6 +36,22 @@ def test_degenerate_single_cell_with_member_salt_is_exact(spark, embs):
     assert salted == exact
 
 
+def test_compact_float32_agrees_with_float64_on_top1(spark, embs):
+    """compact=True (float32 bucket shuffle + kernel) may flip milli
+    rounding at .0005 boundaries but must agree with the float64 path on
+    nearly every top-1 — the contract that justifies using it on the
+    rows-only scale paths."""
+    from polyfuzz_spark.operators.knn import ivf_cosine_topk
+
+    kw = dict(k=1, n_cells=8, n_probe=8, exclude_self=True)
+    f64 = {r["query_id"]: r["neighbor_id"]
+           for r in ivf_cosine_topk(embs, embs, **kw).collect()}
+    f32 = {r["query_id"]: r["neighbor_id"]
+           for r in ivf_cosine_topk(embs, embs, compact=True, **kw).collect()}
+    agree = sum(f64[q] == f32.get(q) for q in f64) / len(f64)
+    assert agree >= 0.98, agree
+
+
 def test_lsh_member_salt_is_output_invisible(spark, embs):
     from polyfuzz_spark.operators.knn import lsh_cosine_topk
 
