@@ -132,6 +132,70 @@ def lang_id_sql(expr: str) -> str:
     return f"(list_max([{', '.join(pieces)}])).l"
 
 
+def tokens(col: Column | str) -> Column:
+    """Non-empty whitespace tokens as an array (shared tokenization for the
+    repetition signals; exact twin in SQL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, "\\s+"), lambda x: x != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex({expr}, '\\s+'), x -> x <> '')"
+    )
+
+
+def dup_token_frac_milli(col: Column | str) -> Column:
+    """⌊1000 · (tokens − distinct tokens) / tokens⌋ — repetition signal in
+    the Gopher-rules family (Rae et al. 2021, "duplicate n-gram fraction"
+    at n=1); 0 for token-free text."""
+    t = tokens(col)
+    n = F.size(t)
+    return (
+        F.when(n == 0, F.lit(0))
+        .otherwise(
+            F.floor(F.lit(1000.0) * (n - F.size(F.array_distinct(t))) / n)
+        )
+        .cast("bigint")
+    )
+
+
+def dup_token_frac_milli_sql(expr: str) -> str:
+    t = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({t}) = 0 THEN 0 ELSE CAST(floor(1000.0 * "
+        f"(len({t}) - len(list_distinct({t}))) / len({t})) AS BIGINT) END"
+    )
+
+
+def dup_line_frac_milli(col: Column | str) -> Column:
+    """⌊1000 · (lines − distinct lines) / lines⌋ — Gopher-style duplicate-line
+    fraction; 0 for empty text. Boilerplate/template detector on multi-line
+    corpora (the contract `documents` table is single-line, so this is
+    exercised by unit tests on synthetic multi-line text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    return (
+        F.when(F.length(c) == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.lit(1000.0) * (n - F.size(F.array_distinct(lines))) / n
+            )
+        )
+        .cast("bigint")
+    )
+
+
+def dup_line_frac_milli_sql(expr: str) -> str:
+    lines = f"string_split({expr}, chr(10))"
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0 ELSE CAST(floor(1000.0 * "
+        f"(len({lines}) - len(list_distinct({lines}))) / len({lines})) "
+        f"AS BIGINT) END"
+    )
+
+
 def doc_fingerprint(col: Column | str, k: int = 8) -> Column:
     """Winnowing-style fingerprint: min md5 over k-char shingles (md5 is
     identical across Spark and DuckDB, so the oracle is exact)."""

@@ -752,6 +752,101 @@ FROM documents
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction plus the most frequent word bigram and the fraction of bigram
+    mass it carries (Rae et al. 2021 'repetitive document' filters — the
+    curation step that precedes dedup in a training-data pipeline).
+
+    Scale shape: tokens materialize once per doc; the bigram counting is
+    explode → two map-side-combinable hash aggregations keyed by doc_id —
+    no window, no skew risk beyond document length itself (bounded like
+    every other per-doc explode here, cf. top_terms).
+    """
+    d = _docs(spark, sf_dir)
+    # materialize the token array once; every signal below reads the column
+    # (multi-use, so CollapseProject cannot inline the split back into the
+    # per-element lambda — see the HOF re-evaluation gotcha)
+    toked = d.select("doc_id", TS.tokens("text").alias("toks"))
+    base = toked.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.when(F.size("toks") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.lit(1000.0)
+                * (F.size("toks") - F.size(F.array_distinct("toks")))
+                / F.size("toks")
+            )
+        )
+        .cast("bigint")
+        .alias("dup_token_frac_milli"),
+    )
+    bigs = toked.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at(F.col("toks"), i),
+                    F.lit(" "),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("bg"),
+    )
+    rep = (
+        bigs.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            # deterministic argmax: ties break to the lexicographically
+            # greatest bigram in BOTH engines (struct comparison)
+            F.max(F.struct(F.col("c"), F.col("bg"))).alias("m"),
+            F.sum("c").alias("nb"),
+        )
+    )
+    return base.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac_milli",
+        F.coalesce(F.col("m.bg"), F.lit("")).alias("top_bigram"),
+        F.coalesce(F.col("m.c"), F.lit(0)).cast("bigint").alias("top_bigram_cnt"),
+        F.coalesce(
+            F.floor(F.lit(1000.0) * F.col("m.c") / F.col("nb")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("top_bigram_frac_milli"),
+    )
+
+
+def _oracle_doc_repetition() -> str:
+    t = TS.tokens_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {t} AS t FROM documents),
+bigs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks WHERE len(t) >= 2),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bigs GROUP BY 1, 2),
+rep AS (SELECT doc_id, max({{'c': c, 'bg': bg}}) AS m, sum(c) AS nb
+        FROM cnt GROUP BY 1)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CASE WHEN len(t) = 0 THEN 0
+            ELSE CAST(floor(1000.0 * (len(t) - len(list_distinct(t)))
+                            / len(t)) AS BIGINT)
+       END AS dup_token_frac_milli,
+       coalesce((rep.m).bg, '') AS top_bigram,
+       CAST(coalesce((rep.m).c, 0) AS BIGINT) AS top_bigram_cnt,
+       CAST(coalesce(floor(1000.0 * (rep.m).c / rep.nb), 0) AS BIGINT)
+         AS top_bigram_frac_milli
+FROM toks LEFT JOIN rep ON toks.doc_id = rep.doc_id
+"""
+
+
 def q_docs_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.groupBy("lang", "source").agg(
@@ -1268,6 +1363,7 @@ def all_queries():
         "train_test_split": q_train_test_split,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
+        "doc_repetition": q_doc_repetition,
         "docs_by_lang_source": q_docs_by_lang_source,
         "embedding_cosine_top3": q_embedding_cosine_top3,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1306,6 +1402,7 @@ def all_oracles():
         # the IVF machinery itself is oracle-exact via the full-probe twin
         "embedding_knn_ivf_fullprobe": ORACLE_EMB_TOP3,
         "doc_stats": _oracle_doc_stats(),
+        "doc_repetition": _oracle_doc_repetition(),
         "docs_by_lang_source": _oracle_docs_by_lang_source(),
         "embedding_cosine_top3": ORACLE_EMB_TOP3,
         "embedding_near_dups": ORACLE_EMB_DUPS,
