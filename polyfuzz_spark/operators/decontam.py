@@ -1,0 +1,122 @@
+"""Train/eval decontamination: flag (and drop) evaluation documents that
+share any word n-gram with the training corpus.
+
+The standard contamination guard for training-data pipelines (GPT-3
+appendix C / Gopher §A.5 use 13-gram overlap): an eval document that shares
+even one long word n-gram with a training document has likely leaked, so it
+is flagged with the shared-gram count and one piece of evidence.
+
+No reference analog (PolyFuzz is a matcher, not a curation pipeline); this
+extends the same n-gram machinery its matchers use (cf.
+/root/reference/polyfuzz/models/_utils.py) to the curation step that
+precedes training.
+
+Scale shape (the 100 TB side is the TRAINING corpus; the eval side is
+small):
+
+* Each side materializes its DISTINCT (doc, gram) pairs once — explode →
+  ``array_distinct`` map-side, so a doc repeating a gram contributes it
+  once.
+* The train side is reduced to a distinct gram SET (one map-side-combined
+  aggregation) and the test side LEFT-SEMI-joins against it — an equi-join
+  where the build side is deduplicated, so a boilerplate gram appearing in
+  millions of training docs (license headers, codegen banners) costs ONE
+  row in the join, never a pair explosion. There is no cross-doc fan-out
+  anywhere.
+* ``hashed=True`` shrinks the train-side shuffle to 8-byte ``xxhash64``
+  keys (the right asymmetry: only the small eval side carries gram strings
+  for evidence). A hash collision can only ADD a false contamination flag
+  (conservative direction for decontamination) with probability ≈
+  n_grams²/2⁶⁵.
+* Aggregation after the semi-join is keyed by eval doc id —
+  map-side combinable, bounded by the eval corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textstats as TS
+
+DEFAULT_N = 13  # the GPT-3 / Gopher decontamination window
+
+
+def word_ngrams(
+    df: DataFrame,
+    *,
+    n: int = DEFAULT_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct word n-grams per document: ``(id_col, gram)`` with one row
+    per distinct gram. Docs shorter than ``n`` tokens emit nothing. Pure
+    map-side (tokenize → sliding window → ``array_distinct`` → explode);
+    the only data movement is whatever the caller does next."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toked = df.select(
+        F.col(id_col),
+        TS.tokens(text_col).alias("__toks"),
+    ).where(F.size("__toks") >= n)
+    # the >= n guard ALSO lives inside the expression: Spark's sequence()
+    # runs DESCENDING when stop < start, so an evaluation-order surprise
+    # (codegen evaluating the project before the filter predicate) would
+    # otherwise hit slice(start=0) on short docs
+    windows = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - n + 1),
+            lambda i: F.array_join(F.slice("__toks", i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toked.select(
+        F.col(id_col),
+        F.array_distinct(windows).alias("__grams"),
+    )
+    return grams.select(F.col(id_col), F.explode("__grams").alias("gram"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    n: int = DEFAULT_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Contaminated eval documents: one row per test doc sharing ≥1 word
+    n-gram with ANY train doc — ``(id_col, n_shared_grams, evidence_gram)``
+    where ``n_shared_grams`` counts the test doc's distinct leaked grams
+    and ``evidence_gram`` is the lexicographically smallest one
+    (deterministic). ``hashed=True`` routes the join through ``xxhash64``
+    gram keys (scale path; evidence stays the true gram string, carried
+    only on the small eval side)."""
+    tr = word_ngrams(train, n=n, text_col=text_col, id_col=id_col)
+    te = word_ngrams(test, n=n, text_col=text_col, id_col=id_col)
+    key: Column = F.xxhash64("gram") if hashed else F.col("gram")
+    tr_keys = tr.select(key.alias("__k")).distinct()
+    te_keyed = te.select(F.col(id_col), F.col("gram"), key.alias("__k"))
+    hits = te_keyed.join(tr_keys, "__k", "left_semi")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"),
+        F.min("gram").alias("evidence_gram"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    n: int = DEFAULT_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """The eval set with contaminated documents removed (one
+    ``left_anti`` equi-join on ``id_col`` against the flagged set)."""
+    flagged = ngram_contamination(
+        train, test, n=n, text_col=text_col, id_col=id_col, hashed=hashed
+    ).select(id_col)
+    return test.join(flagged, id_col, "left_anti")

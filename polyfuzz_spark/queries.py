@@ -593,6 +593,56 @@ LEFT JOIN rep ON d.doc_id = rep.v
 """
 
 
+DECON_N = 13
+DECON_TRAIN_FRAC = 0.8
+DECON_SALT = "decon"
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3 appendix C / Gopher §A.5): split the
+    corpus 80/20 on the shared md5 keep-predicate, then flag every test doc
+    sharing a 13-token word n-gram with any train doc, with the distinct
+    shared-gram count and the smallest leaked gram as evidence.
+
+    Scale shape: the train side reduces to a distinct gram SET and the test
+    side LEFT-SEMI-joins it (operators/decontam.py) — no cross-doc pair
+    fan-out, boilerplate grams cost one build-side row each."""
+    from .functions.sampling import deterministic_uniform
+    from .operators.decontam import ngram_contamination
+
+    d = _docs(spark, sf_dir)
+    is_train = deterministic_uniform("doc_id", DECON_SALT) < F.lit(
+        DECON_TRAIN_FRAC
+    )
+    return ngram_contamination(
+        d.where(is_train), d.where(~is_train), n=DECON_N
+    )
+
+
+def _oracle_decontamination() -> str:
+    from .functions.sampling import sample_oracle_predicate
+
+    t = TS.tokens_sql("text")
+    pred = sample_oracle_predicate(
+        "doc_id", str(DECON_TRAIN_FRAC), salt=DECON_SALT
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {t} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, len(t) - {DECON_N} + 1),
+      i -> array_to_string(list_slice(t, i, i + {DECON_N} - 1), ' ')))) AS g
+  FROM toks WHERE len(t) >= {DECON_N}),
+tr AS (SELECT DISTINCT g FROM grams WHERE {pred}),
+te AS (SELECT doc_id, g FROM grams WHERE NOT ({pred}))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_grams,
+       min(g) AS evidence_gram
+FROM te WHERE g IN (SELECT g FROM tr)
+GROUP BY 1
+"""
+
+
 SAMPLE_RATES = {"en": 0.25, "zh": 0.5}
 SAMPLE_DEFAULT = 0.75
 SAMPLE_SALT = "r3"
@@ -1361,6 +1411,7 @@ def all_queries():
         "sample_stratified": q_sample_stratified,
         "mixture_resample": q_mixture_resample,
         "train_test_split": q_train_test_split,
+        "decontamination": q_decontamination,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
         "doc_repetition": q_doc_repetition,
@@ -1397,6 +1448,7 @@ def all_oracles():
         "sample_stratified": _sample_oracle(),
         "mixture_resample": _mixture_oracle(),
         "train_test_split": _split_oracle(),
+        "decontamination": _oracle_decontamination(),
         "simhash_near_dups": ORACLE_SIMHASH,
         # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only;
         # the IVF machinery itself is oracle-exact via the full-probe twin

@@ -1,0 +1,94 @@
+"""Unit behavior of the decontamination operator (operators/decontam.py):
+planted-leak detection, within-doc gram dedup, short-doc handling, hashed
+scale-path parity, and the drop verb. The contract query + DuckDB oracle are
+covered by test_queries_oracle.py."""
+
+import pytest
+
+from polyfuzz_spark.operators.decontam import (
+    decontaminate,
+    ngram_contamination,
+    word_ngrams,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    train = _df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "import numpy as np  def main(): pass"),
+            (3, "short doc"),
+        ],
+    )
+    test = _df(
+        spark,
+        [
+            # shares the 3-gram windows of "quick brown fox jumps"
+            (10, "she saw the quick brown fox jumps today"),
+            # clean
+            (11, "completely unrelated text with no overlap whatsoever"),
+            # shares "import numpy as" exactly once, but repeats it twice
+            (12, "import numpy as x then import numpy as y"),
+            # shorter than n -> never flagged, never emits grams
+            (13, "tiny"),
+        ],
+    )
+    return train, test
+
+
+def test_word_ngrams_window_and_dedup(spark):
+    df = _df(spark, [(1, "a b a b a"), (2, "x y")])
+    got = {
+        (r.doc_id, r.gram)
+        for r in word_ngrams(df, n=3).collect()
+    }
+    # 3 windows in doc 1 but only 2 DISTINCT grams; doc 2 too short
+    assert got == {(1, "a b a"), (1, "b a b")}
+
+
+def test_planted_leak_flagged_with_evidence(spark, corpora):
+    train, test = corpora
+    out = {
+        r.doc_id: (r.n_shared_grams, r.evidence_gram)
+        for r in ngram_contamination(train, test, n=3).collect()
+    }
+    # doc 10 shares windows of "the quick brown fox jumps":
+    #   "the quick brown", "quick brown fox", "brown fox jumps"
+    assert out[10] == (3, "brown fox jumps")
+    # doc 12's repeated "import numpy as" counts ONCE (distinct grams)
+    assert out[12] == (1, "import numpy as")
+    assert 11 not in out and 13 not in out
+
+
+def test_hashed_path_matches_string_path(spark, corpora):
+    train, test = corpora
+    plain = ngram_contamination(train, test, n=3, hashed=False)
+    hashed = ngram_contamination(train, test, n=3, hashed=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, hashed.collect())
+    )
+
+
+def test_decontaminate_drops_only_flagged(spark, corpora):
+    train, test = corpora
+    kept = {r.doc_id for r in decontaminate(train, test, n=3).collect()}
+    assert kept == {11, 13}
+
+
+def test_no_overlap_when_n_exceeds_shared_span(spark, corpora):
+    train, test = corpora
+    # longest shared token run is 5 ("the quick brown fox jumps");
+    # n=6 finds nothing
+    assert ngram_contamination(train, test, n=6).count() == 0
+
+
+def test_n_validation(spark, corpora):
+    train, _ = corpora
+    with pytest.raises(ValueError):
+        word_ngrams(train, n=0)
