@@ -145,6 +145,20 @@ def tokens_sql(expr: str) -> str:
     )
 
 
+def token_sort_key(col: Column | str) -> Column:
+    """Tokens sorted and re-joined — the canonical form behind RapidFuzz's
+    token_sort_ratio (cf. scorers/kernels.py:135): word order stops
+    mattering, so reordered identifiers / import lists compare equal.
+    Binary (codepoint) sort in both engines."""
+    return F.array_join(F.array_sort(tokens(col)), " ")
+
+
+def token_sort_key_sql(expr: str) -> str:
+    # coalesce: DuckDB's array_to_string(NULL-or-empty list) is NULL where
+    # Spark's array_join is ''
+    return f"coalesce(array_to_string(list_sort({tokens_sql(expr)}), ' '), '')"
+
+
 def dup_token_frac_milli(col: Column | str) -> Column:
     """⌊1000 · (tokens − distinct tokens) / tokens⌋ — repetition signal in
     the Gopher-rules family (Rae et al. 2021, "duplicate n-gram fraction"

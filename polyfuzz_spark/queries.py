@@ -408,6 +408,65 @@ SELECT from_id, to_id, jw_milli FROM ranked WHERE rnk = 1
 """
 
 
+def q_token_sort_lev_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sorted normalized Levenshtein top-1: both keys canonicalize to
+    sorted-token form first (functions/textstats.token_sort_key — the same
+    canonicalization RapidFuzz's token_sort_ratio applies, cf. reference
+    rapidfuzz usage in /root/reference/polyfuzz/models/_rapidfuzz.py), then
+    similarity = 1 − lev/max(len) on the canonical strings. Word order stops
+    mattering — the reordering-robust member of the edit-distance family
+    with a fully JVM (built-in levenshtein) kernel AND an exact SQL twin,
+    bracketing the rows-only WRatio composite from one more side.
+
+    Scale shape: canonicalization is map-side per row; the pair scorer is
+    whole-stage-codegen JVM; pairs repartitioned before the O(|a|·|b|) DP
+    like the rest of the family."""
+    f, t = _lev_slices(spark, sf_dir)
+    f = f.select("from_id", TS.token_sort_key("fk").alias("fs"))
+    t = t.select("to_id", TS.token_sort_key("tk").alias("ts"))
+    n_part = spark.sparkContext.defaultParallelism * 2
+    sim = F.when(
+        F.greatest(F.length("fs"), F.length("ts")) == 0, F.lit(1.0)
+    ).otherwise(
+        1.0
+        - F.levenshtein("fs", "ts")
+        / F.greatest(F.length("fs"), F.length("ts"))
+    )
+    pairs = f.crossJoin(t).repartition(n_part).select(
+        "from_id", "to_id", _milli(sim).alias("sim_milli")
+    )
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("sim_milli"), F.asc("to_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("from_id", "to_id", "sim_milli")
+    )
+
+
+def _oracle_token_sort_lev_top1() -> str:
+    fs = TS.token_sort_key_sql("substring(text, 1, 40)")
+    sim = (
+        "CASE WHEN greatest(length(fs), length(ts)) = 0 THEN 1.0 "
+        "ELSE 1.0 - levenshtein(fs, ts) * 1.0 "
+        "/ greatest(length(fs), length(ts)) END"
+    )
+    return f"""
+WITH f AS (SELECT doc_id AS from_id, {fs} AS fs
+           FROM documents WHERE doc_id < 50),
+t AS (SELECT doc_id AS to_id, {fs} AS ts
+      FROM documents WHERE doc_id >= 450),
+pairs AS (
+  SELECT from_id, to_id, {MILLI.format(x=sim)} AS sim_milli FROM f, t),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY from_id
+                               ORDER BY sim_milli DESC, to_id) AS rnk
+  FROM pairs)
+SELECT from_id, to_id, sim_milli FROM ranked WHERE rnk = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Dedup family
 # --------------------------------------------------------------------------
@@ -1402,6 +1461,7 @@ def all_queries():
         "cluster_assignments": q_cluster_assignments,
         "score_pairs_jw": q_score_pairs_jw,
         "levenshtein_top1": q_levenshtein_top1,
+        "token_sort_lev_top1": q_token_sort_lev_top1,
         "jaro_winkler_top1": q_jaro_winkler_top1,
         "exact_dedup_prefix": q_exact_dedup_prefix,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -1439,6 +1499,7 @@ def all_oracles():
         "cluster_assignments": ORACLE_CLUSTERS,
         "score_pairs_jw": ORACLE_SCORE_PAIRS_JW,
         "levenshtein_top1": ORACLE_LEV_TOP1,
+        "token_sort_lev_top1": _oracle_token_sort_lev_top1(),
         "jaro_winkler_top1": ORACLE_JW_TOP1,
         "exact_dedup_prefix": ORACLE_EXACT_DEDUP,
         "ngram_jaccard_dups": ORACLE_JACCARD,

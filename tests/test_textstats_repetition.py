@@ -49,3 +49,27 @@ def test_tokens_drop_empty_and_split_on_any_whitespace(spark):
     df = spark.createDataFrame([("  a \t b\nc  ",)], "text string")
     row = df.select(TS.tokens("text").alias("t")).collect()[0]
     assert row["t"] == ["a", "b", "c"]
+
+
+def test_token_sort_key_matches_duckdb_twin(spark):
+    cases = [
+        "b a c",
+        "Zebra apple Banana",          # binary sort: uppercase before lower
+        "  padded \t with\nwhitespace ",
+        "déjà vu déjà",                # non-ASCII codepoints
+        "same same same",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(cases)], "text string, id int"
+    )
+    got = {
+        r["id"]: r["k"]
+        for r in df.select("id", TS.token_sort_key("text").alias("k")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        exp = con.execute(
+            "SELECT " + TS.token_sort_key_sql(_duck_lit(t))
+        ).fetchone()[0]
+        assert got[i] == exp, (t, got[i], exp)
