@@ -956,6 +956,23 @@ FROM toks LEFT JOIN rep ON toks.doc_id = rep.doc_id
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style curation verdict per document (functions/curation.py):
+    four signal rules (token count, alpha ratio, duplicate-token fraction,
+    top-bigram mass) → keep + fired-reason string. At sf0.01 the default
+    thresholds drop ~28% of the corpus across all four rules — a realistic
+    filter mix, every rule exercised."""
+    from .functions.curation import curation_verdict
+
+    return curation_verdict(_docs(spark, sf_dir))
+
+
+def _oracle_corpus_curation() -> str:
+    from .functions.curation import curation_verdict_sql
+
+    return curation_verdict_sql("documents")
+
+
 def q_docs_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.groupBy("lang", "source").agg(
@@ -1472,6 +1489,7 @@ def all_queries():
         "mixture_resample": q_mixture_resample,
         "train_test_split": q_train_test_split,
         "decontamination": q_decontamination,
+        "corpus_curation": q_corpus_curation,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
         "doc_repetition": q_doc_repetition,
@@ -1510,6 +1528,7 @@ def all_oracles():
         "mixture_resample": _mixture_oracle(),
         "train_test_split": _split_oracle(),
         "decontamination": _oracle_decontamination(),
+        "corpus_curation": _oracle_corpus_curation(),
         "simhash_near_dups": ORACLE_SIMHASH,
         # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only;
         # the IVF machinery itself is oracle-exact via the full-probe twin
