@@ -956,6 +956,60 @@ FROM toks LEFT JOIN rep ON toks.doc_id = rep.doc_id
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/scrub.py): URLs, emails, IPv4 replaced by typed
+    placeholders with per-type counts. The synthetic corpus contains no PII,
+    so the query PLANTS it deterministically (doc_id mod classes append
+    known emails/URLs/IPs) and then scrubs — both engines plant and scrub
+    with the same expressions, so the oracle is exact. Pure map-side JVM
+    regex, no shuffle."""
+    from .functions.scrub import pii_count, scrub_text
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", 3) == 0,
+                F.lit(" contact admin@example.com or http://ex.io/x?id=1"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", 5) == 0,
+                F.lit(" host 10.0.0.1 see https://m.io/a or b@c.io"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return planted.select(
+        "doc_id",
+        scrub_text("t").alias("scrubbed"),
+        pii_count("t", "url").alias("n_urls"),
+        pii_count("t", "email").alias("n_emails"),
+        pii_count("t", "ip").alias("n_ips"),
+    )
+
+
+def _oracle_pii_scrub() -> str:
+    from .functions.scrub import pii_count_sql, scrub_text_sql
+
+    plant = (
+        "text || "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "' contact admin@example.com or http://ex.io/x?id=1' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN "
+        "' host 10.0.0.1 see https://m.io/a or b@c.io' ELSE '' END"
+    )
+    return f"""
+WITH planted AS (SELECT doc_id, {plant} AS t FROM documents)
+SELECT doc_id,
+       {scrub_text_sql('t')} AS scrubbed,
+       {pii_count_sql('t', 'url')} AS n_urls,
+       {pii_count_sql('t', 'email')} AS n_emails,
+       {pii_count_sql('t', 'ip')} AS n_ips
+FROM planted
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style curation verdict per document (functions/curation.py):
     four signal rules (token count, alpha ratio, duplicate-token fraction,
@@ -1490,6 +1544,7 @@ def all_queries():
         "train_test_split": q_train_test_split,
         "decontamination": q_decontamination,
         "corpus_curation": q_corpus_curation,
+        "pii_scrub": q_pii_scrub,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
         "doc_repetition": q_doc_repetition,
@@ -1529,6 +1584,7 @@ def all_oracles():
         "train_test_split": _split_oracle(),
         "decontamination": _oracle_decontamination(),
         "corpus_curation": _oracle_corpus_curation(),
+        "pii_scrub": _oracle_pii_scrub(),
         "simhash_near_dups": ORACLE_SIMHASH,
         # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only;
         # the IVF machinery itself is oracle-exact via the full-probe twin
