@@ -1010,6 +1010,65 @@ FROM planted
 """
 
 
+BOILER_MIN_DOCS = 50
+BOILER_HEADER = "SPDX-License-Identifier: MIT\nGenerated. Do not edit."
+BOILER_BANNER = "# AUTOGENERATED FILE"
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/boilerplate.py): lines
+    repeating across ≥ 50 distinct docs are stripped, surviving lines
+    re-joined in order. The synthetic corpus is single-line-unique, so the
+    query PLANTS a license header (docs ≡ 0 mod 2) and a codegen banner
+    (docs ≡ 0 mod 3) identically on both engines — stripping must return
+    every document to exactly its original text (2 or 3 lines removed),
+    which the oracle checks byte-for-byte."""
+    from .operators.boilerplate import strip_boilerplate
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", 2) == 0, F.lit("\n" + BOILER_HEADER)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", 3) == 0, F.lit("\n" + BOILER_BANNER)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return strip_boilerplate(planted, min_docs=BOILER_MIN_DOCS)
+
+
+def _oracle_strip_boilerplate() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+    plant = (
+        f"text || CASE WHEN doc_id % 2 = 0 THEN chr(10) || "
+        f"{lit(BOILER_HEADER)} ELSE '' END || "
+        f"CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+        f"{lit(BOILER_BANNER)} ELSE '' END"
+    )
+    return f"""
+WITH planted AS (SELECT doc_id, {plant} AS t FROM documents),
+l AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+          i -> struct_pack(pos := i, line := ls[i]))) AS pl
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM planted)),
+flat AS (SELECT doc_id, pl.pos AS pos, pl.line AS line FROM l),
+hot AS (SELECT line FROM flat WHERE length(trim(line)) >= 4
+        GROUP BY line HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+marked AS (SELECT f.doc_id, f.pos, f.line, h.line IS NOT NULL AS hot
+           FROM flat f LEFT JOIN hot h ON f.line = h.line)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT hot), '') AS text,
+       CAST(count(*) FILTER (WHERE hot) AS BIGINT) AS n_lines_removed
+FROM marked GROUP BY doc_id
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style curation verdict per document (functions/curation.py):
     four signal rules (token count, alpha ratio, duplicate-token fraction,
@@ -1545,6 +1604,7 @@ def all_queries():
         "decontamination": q_decontamination,
         "corpus_curation": q_corpus_curation,
         "pii_scrub": q_pii_scrub,
+        "strip_boilerplate": q_strip_boilerplate,
         "simhash_near_dups": q_simhash_near_dups,
         "doc_stats": q_doc_stats,
         "doc_repetition": q_doc_repetition,
@@ -1585,6 +1645,7 @@ def all_oracles():
         "decontamination": _oracle_decontamination(),
         "corpus_curation": _oracle_corpus_curation(),
         "pii_scrub": _oracle_pii_scrub(),
+        "strip_boilerplate": _oracle_strip_boilerplate(),
         "simhash_near_dups": ORACLE_SIMHASH,
         # embedding_knn_lsh / embedding_knn_ivf: approximate → rows-only;
         # the IVF machinery itself is oracle-exact via the full-probe twin
