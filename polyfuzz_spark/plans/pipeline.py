@@ -75,17 +75,18 @@ class ERConfig:
     iceberg_table_prefix: str | None = None
 
 
-class ERPipeline:
-    """match → select → cluster over a corpus DataFrame, checkpointed."""
+class CheckpointedPlan:
+    """Shared stage-checkpoint plumbing (manifests, resume, parquet/Iceberg
+    sink switch, per-partition lineage). Subclasses set ``STAGES``, a
+    ``self.cfg`` carrying ``iceberg_table_prefix``, and implement
+    ``run()`` in terms of :meth:`_checkpoint` / :meth:`is_complete` /
+    :meth:`read`."""
 
-    STAGES = ["ingest", "candidates", "scores", "matches", "clusters",
-              "survivors"]
+    STAGES: list[str] = []
 
-    def __init__(self, spark: SparkSession, run_dir: str,
-                 config: ERConfig | None = None):
+    def __init__(self, spark: SparkSession, run_dir: str):
         self.spark = spark
         self.run_dir = Path(run_dir)
-        self.cfg = config or ERConfig()
         self.run_dir.mkdir(parents=True, exist_ok=True)
 
     # ------------------------------------------------------------ plumbing
@@ -172,25 +173,51 @@ class ERPipeline:
         self._manifest(stage).write_text(json.dumps(manifest, indent=2))
         return back
 
+    def _amend_manifest(self, stage: str, extra: dict) -> None:
+        """Merge ``extra`` into an already-written stage manifest (for
+        totals that are cheapest to compute from the written, column-pruned
+        checkpoint rather than from the pre-write plan)."""
+        mf = self._manifest(stage)
+        manifest = json.loads(mf.read_text())
+        manifest.update(extra)
+        mf.write_text(json.dumps(manifest, indent=2))
+
+    def checkpoint_ingest(self, corpus: DataFrame | None) -> None:
+        """Shared first stage: assert the per-row sha256 content invariant
+        at the boundary, repartition by doc_id hash so downstream joins see
+        uniform input regardless of source file layout, checkpoint."""
+        assert corpus is not None, "first run needs the corpus DataFrame"
+        bad = corpus.where(
+            F.sha2(F.col("content"), 256) != F.col("content_sha256")
+        ).count() if "content_sha256" in corpus.columns else 0
+        if bad:
+            raise ValueError(f"sha256 invariant violated on {bad} rows")
+        n_part = self.spark.sparkContext.defaultParallelism * 2
+        self._checkpoint(
+            "ingest",
+            corpus.repartition(n_part, "doc_id"),
+            extra={"sha256_violations": 0},
+        )
+
+
+class ERPipeline(CheckpointedPlan):
+    """match → select → cluster over a corpus DataFrame, checkpointed."""
+
+    STAGES = ["ingest", "candidates", "scores", "matches", "clusters",
+              "survivors"]
+
+    def __init__(self, spark: SparkSession, run_dir: str,
+                 config: ERConfig | None = None):
+        super().__init__(spark, run_dir)
+        self.cfg = config or ERConfig()
+
     # -------------------------------------------------------------- stages
     def run(self, corpus: DataFrame | None = None) -> dict:
         """Run all incomplete stages; returns the manifest summary."""
         cfg = self.cfg
 
         if not self.is_complete("ingest"):
-            assert corpus is not None, "first run needs the corpus DataFrame"
-            # per-row content invariant asserted at the boundary
-            bad = corpus.where(
-                F.sha2(F.col("content"), 256) != F.col("content_sha256")
-            ).count() if "content_sha256" in corpus.columns else 0
-            if bad:
-                raise ValueError(f"sha256 invariant violated on {bad} rows")
-            n_part = self.spark.sparkContext.defaultParallelism * 2
-            self._checkpoint(
-                "ingest",
-                corpus.repartition(n_part, "doc_id"),
-                extra={"sha256_violations": 0},
-            )
+            self.checkpoint_ingest(corpus)
         docs = self.read("ingest").select(
             "doc_id", F.col(cfg.key_col).alias("key")
         )
