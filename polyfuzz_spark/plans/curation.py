@@ -1,0 +1,221 @@
+"""Checkpointed, resumable corpus-curation pipeline: the end-to-end
+training-data preparation job a 100 TB corpus actually runs, composed from
+the engine's individually-oracle-checked curation verbs.
+
+No reference analog (PolyFuzz matches strings; it does not curate corpora) —
+this is the training-data-pipeline extension family (SURVEY §2.11) staged
+behind the same checkpoint/resume plumbing as the ER pipeline
+(:class:`~polyfuzz_spark.plans.pipeline.CheckpointedPlan`).
+
+Stages (each writes parquet — or Iceberg when configured — plus a JSON
+manifest with row counts and per-partition lineage):
+
+    ingest    corpus table (input_hint schema), sha256 invariant asserted
+    scrub     PII placeholders (URL → email → IPv4) + per-doc counts
+    strip     boilerplate line removal (hot lines across ≥ min_docs docs)
+    verdicts  Gopher/C4 quality verdict table (auditable: signals+reasons)
+    curated   kept documents only (semi-join on the verdict)
+    dedup     exact dedup on post-scrub content (keep min doc_id)
+    split     leakage-safe train/test split (MinHash near-dup clusters
+              assigned atomically by a deterministic hash of the rep)
+    final     decontaminated corpus: test rows sharing any word
+              ``decontam_n``-gram with ANY train row are dropped
+
+``run()`` skips any stage whose manifest is complete — kill after any stage
+and rerun with the same run_dir to resume.
+
+Scale notes (100 TB thinking), stage by stage:
+* scrub/strip/verdicts are map-side expressions plus per-doc-keyed
+  aggregations (no corpus-global state; thresholds are constants);
+* the hot-line set and the exact-dedup group table are single
+  map-side-combined aggregations whose outputs are small relative to the
+  corpus (AQE broadcasts the joins back);
+* split's near-dup pairs come from banded MinHash LSH with bucket caps —
+  never all-pairs — and clustering reuses the adaptive CC tiers;
+* final's contamination check is a left-semi join of the SMALL test side
+  against the train side's distinct (optionally xxhash64-compressed) gram
+  set — a boilerplate gram in millions of train docs costs one row.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.curation import DEFAULT_THRESHOLDS, curation_verdict
+from ..functions.scrub import pii_count, scrub_text
+from ..operators.boilerplate import (
+    DEFAULT_MIN_CHARS,
+    DEFAULT_MIN_DOCS,
+    strip_boilerplate,
+)
+from ..operators.decontam import DEFAULT_N, ngram_contamination
+from ..operators.dedup import leakage_safe_split, minhash_near_dups
+from .pipeline import CheckpointedPlan
+
+
+@dataclass
+class CurationConfig:
+    text_col: str = "content"
+    # boilerplate strip
+    boiler_min_docs: int = DEFAULT_MIN_DOCS
+    boiler_min_chars: int = DEFAULT_MIN_CHARS
+    # quality verdict thresholds (functions/curation.py defaults)
+    min_tokens: int = DEFAULT_THRESHOLDS["min_tokens"]
+    min_alpha_milli: int = DEFAULT_THRESHOLDS["min_alpha_milli"]
+    max_dup_token_milli: int = DEFAULT_THRESHOLDS["max_dup_token_milli"]
+    max_top_bigram_milli: int = DEFAULT_THRESHOLDS["max_top_bigram_milli"]
+    # near-dup pairs feeding the leakage-safe split
+    shingle_n: int = 3
+    dup_threshold: float = 0.8
+    num_hashes: int = 128
+    bands: int = 32
+    max_bucket_size: int | None = 20_000
+    # split + decontamination
+    train_frac: float = 0.8
+    split_salt: str = "split"
+    decontam_n: int = DEFAULT_N
+    decontam_hashed: bool = True
+    # Iceberg sink gate, same contract as ERConfig.iceberg_table_prefix
+    iceberg_table_prefix: str | None = None
+
+
+class CurationPipeline(CheckpointedPlan):
+    """scrub → strip → curate → dedup → split → decontaminate, checkpointed."""
+
+    STAGES = ["ingest", "scrub", "strip", "verdicts", "curated", "dedup",
+              "split", "final"]
+
+    def __init__(self, spark: SparkSession, run_dir: str,
+                 config: CurationConfig | None = None):
+        super().__init__(spark, run_dir)
+        self.cfg = config or CurationConfig()
+
+    # -------------------------------------------------------------- stages
+    def run(self, corpus: DataFrame | None = None) -> dict:
+        """Run all incomplete stages; returns the manifest summary."""
+        cfg = self.cfg
+        text = cfg.text_col
+
+        if not self.is_complete("ingest"):
+            self.checkpoint_ingest(corpus)
+
+        if not self.is_complete("scrub"):
+            docs = self.read("ingest")
+            # content_sha256 stays as-is past this point: it is lineage to
+            # the SOURCE row (the invariant is asserted at ingest); content
+            # diverges from it by design once placeholders land
+            scrubbed = docs.select(
+                *[c for c in docs.columns if c != text],
+                scrub_text(text).alias(text),
+                (
+                    pii_count(text, "url")
+                    + pii_count(text, "email")
+                    + pii_count(text, "ip")
+                ).alias("n_pii_scrubbed"),
+            )
+            back = self._checkpoint("scrub", scrubbed)
+            tot = back.agg(F.sum("n_pii_scrubbed")).first()[0]
+            self._amend_manifest("scrub", {"pii_scrubbed_total": int(tot or 0)})
+
+        if not self.is_complete("strip"):
+            docs = self.read("scrub")
+            stripped = strip_boilerplate(
+                docs.select("doc_id", text),
+                min_docs=cfg.boiler_min_docs,
+                min_chars=cfg.boiler_min_chars,
+                text_col=text,
+                id_col="doc_id",
+            )
+            back = self._checkpoint("strip", docs.drop(text).join(stripped, "doc_id"))
+            tot = back.agg(F.sum("n_lines_removed")).first()[0]
+            self._amend_manifest("strip", {"lines_removed_total": int(tot or 0)})
+
+        if not self.is_complete("verdicts"):
+            verdicts = curation_verdict(
+                self.read("strip"),
+                text_col=text,
+                id_col="doc_id",
+                min_tokens=cfg.min_tokens,
+                min_alpha_milli=cfg.min_alpha_milli,
+                max_dup_token_milli=cfg.max_dup_token_milli,
+                max_top_bigram_milli=cfg.max_top_bigram_milli,
+            )
+            back = self._checkpoint("verdicts", verdicts)
+            kept = back.where("keep").count()
+            self._amend_manifest("verdicts", {
+                "n_kept": int(kept),
+                "n_dropped": json_rows(self, "verdicts") - int(kept),
+            })
+
+        if not self.is_complete("curated"):
+            kept_ids = self.read("verdicts").where("keep").select("doc_id")
+            self._checkpoint(
+                "curated",
+                self.read("strip").join(kept_ids, "doc_id", "left_semi"),
+            )
+
+        if not self.is_complete("dedup"):
+            docs = self.read("curated")
+            reps = (
+                docs.select(F.sha2(F.col(text), 256).alias("__sha"), "doc_id")
+                .groupBy("__sha")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            self._checkpoint("dedup", docs.join(reps, "doc_id", "left_semi"))
+            self._amend_manifest("dedup", {
+                "rows_dropped":
+                    json_rows(self, "curated") - json_rows(self, "dedup"),
+            })
+
+        if not self.is_complete("split"):
+            docs = self.read("dedup")
+            pairs = minhash_near_dups(
+                docs.select("doc_id", F.col(text).alias("key")),
+                "key",
+                n=cfg.shingle_n,
+                threshold=cfg.dup_threshold,
+                num_hashes=cfg.num_hashes,
+                bands=cfg.bands,
+                max_bucket_size=cfg.max_bucket_size,
+            )
+            split_df = leakage_safe_split(
+                docs, pairs,
+                train_frac=cfg.train_frac, salt=cfg.split_salt,
+            )
+            back = self._checkpoint("split", split_df)
+            n_train = back.where("split = 'train'").count()
+            self._amend_manifest("split", {
+                "n_train": int(n_train),
+                "n_test": json_rows(self, "split") - int(n_train),
+            })
+
+        if not self.is_complete("final"):
+            sp = self.read("split")
+            contaminated = ngram_contamination(
+                sp.where("split = 'train'"),
+                sp.where("split = 'test'"),
+                n=cfg.decontam_n,
+                text_col=text,
+                id_col="doc_id",
+                hashed=cfg.decontam_hashed,
+            ).select("doc_id")
+            self._checkpoint("final", sp.join(contaminated, "doc_id", "left_anti"))
+            self._amend_manifest("final", {
+                "test_rows_decontaminated":
+                    json_rows(self, "split") - json_rows(self, "final"),
+            })
+
+        return {
+            s: json.loads(self._manifest(s).read_text()) for s in self.STAGES
+        }
+
+
+def json_rows(plan: CheckpointedPlan, stage: str) -> int:
+    """Row count of a completed stage, read from its manifest (free — no
+    Spark job)."""
+    return int(json.loads(plan._manifest(stage).read_text())["rows"])

@@ -1,0 +1,188 @@
+"""End-to-end corpus-curation pipeline tests: scrub → strip → curate →
+dedup → split → decontaminate, checkpointed and resumable (SURVEY §2.11
+training-data-pipeline family; plumbing shared with the ER pipeline)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from polyfuzz_spark.functions.scrub import pii_count
+from polyfuzz_spark.operators.decontam import ngram_contamination
+from polyfuzz_spark.plans.curation import CurationConfig, CurationPipeline
+from polyfuzz_spark.sources.corpus import generate_corpus
+
+BANNER = "// SPDX-License-Identifier: FAKE-1.0 codegen banner do not edit"
+# a 13-token phrase planted inline (doc-specific line prefix keeps the LINE
+# cold for the boilerplate stripper while the token window stays shared)
+LEAK = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike")
+
+# the synthetic corpus's identifier-heavy tokens sit ~527-700 alpha-milli,
+# so the e2e config lowers the alpha gate; everything else is default
+CFG = CurationConfig(boiler_min_docs=8, min_alpha_milli=400)
+
+DUP_TEXT = (
+    "shared helper module computing rolling checksum windows across "
+    "buffered chunks while emitting progress events and validating "
+    "boundary offsets against the manifest before flushing output"
+)
+
+
+def _corpus(spark):
+    base = generate_corpus(spark, n_entities=40, seed=11)
+    c = F.col("content")
+    c = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(c, F.lit(
+            "\ncontact admin@example.com via https://tracker.example/x "
+            "from 10.1.2.3")),
+    ).otherwise(c)
+    c = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit(BANNER + "\n"), c)
+    ).otherwise(c)
+    c = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(c, F.lit("\nref"), F.col("doc_id").cast("string"),
+                 F.lit(" " + LEAK)),
+    ).otherwise(c)
+    doctored = base.withColumn("content", c)
+
+    extra = spark.createDataFrame(
+        [
+            (100001, "junk", "short.txt", "c0", "md", "x y z"),
+            (100002, "junk", "loop.txt", "c0", "md", ("spam " * 400).strip()),
+            (100010, "dup", "a.py", "c0", "python", DUP_TEXT),
+            (100011, "dup", "b.py", "c0", "python", DUP_TEXT),
+        ],
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string",
+    ).withColumn("entity_id", F.lit(-1).cast("long"))
+
+    cols = ["doc_id", "repo", "path", "commit", "lang", "content",
+            "entity_id"]
+    return (
+        doctored.select(cols).unionByName(extra.select(cols))
+        .withColumn("content_sha256", F.sha2("content", 256))
+    )
+
+
+def _final_hash(pipe):
+    return (
+        pipe.read("final")
+        .agg(F.sha2(F.concat_ws("", F.sort_array(
+            F.collect_list(F.concat_ws("|", "doc_id", "split", "content"))
+        )), 256))
+        .collect()[0][0]
+    )
+
+
+def test_curation_pipeline_e2e(spark, tmp_path):
+    corpus = _corpus(spark)
+    pipe = CurationPipeline(spark, str(tmp_path / "cur"), CFG)
+    summary = pipe.run(corpus)
+    assert all(m["complete"] for m in summary.values())
+
+    final = pipe.read("final")
+
+    # scrub: placeholders landed, nothing PII-shaped survives any stage
+    assert summary["scrub"]["pii_scrubbed_total"] >= 3 * 20  # ≥20 docs * 3
+    leftover = final.agg(F.sum(
+        pii_count("content", "url") + pii_count("content", "email")
+        + pii_count("content", "ip")
+    )).first()[0]
+    assert (leftover or 0) == 0
+
+    # strip: the planted banner is hot (≥8 docs) and gone everywhere
+    assert summary["strip"]["lines_removed_total"] >= 8
+    assert final.where(F.col("content").contains(BANNER)).count() == 0
+
+    # curated: both junk docs dropped, with audited reasons
+    assert summary["verdicts"]["n_dropped"] >= 2
+    verdicts = pipe.read("verdicts")
+    reasons = {
+        r["doc_id"]: r["reasons"]
+        for r in verdicts.where(~F.col("keep")).collect()
+    }
+    assert "too_few_tokens" in reasons[100001]
+    assert "repetitive_tokens" in reasons[100002]
+    survivors = {r.doc_id for r in final.select("doc_id").collect()}
+    assert 100001 not in survivors and 100002 not in survivors
+
+    # dedup: only the min-id member of the exact-dup pair survives
+    assert summary["dedup"]["rows_dropped"] >= 1
+    assert 100010 in survivors
+    assert 100011 not in survivors
+
+    # split: leakage-safe — every near-dup cluster on one side only
+    assert summary["split"]["n_train"] + summary["split"]["n_test"] == \
+        summary["split"]["rows"]
+    sides = (
+        pipe.read("split").groupBy("group_rep")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k")).first()[0]
+    )
+    assert sides == 1
+
+    # final: planted leak produced drops, and the OUTPUT is clean — no
+    # surviving test row shares a 13-gram with any surviving train row
+    assert summary["final"]["test_rows_decontaminated"] >= 1
+    assert summary["final"]["rows"] == \
+        summary["split"]["rows"] - summary["final"]["test_rows_decontaminated"]
+    residue = ngram_contamination(
+        final.where("split = 'train'"), final.where("split = 'test'"),
+        text_col="content",
+    )
+    assert residue.count() == 0
+
+    # lineage: content_sha256 still points at the SOURCE row for every
+    # survivor (join back to the input corpus and compare)
+    src = corpus.select("doc_id", F.col("content_sha256").alias("src_sha"))
+    mismatched = (
+        final.join(src, "doc_id")
+        .where(F.col("content_sha256") != F.col("src_sha"))
+        .count()
+    )
+    assert mismatched == 0
+
+
+def test_curation_crash_resumes_hash_equal(spark, tmp_path, monkeypatch):
+    """Kill the run at the START of the final stage (after 7 checkpoints),
+    re-launch with the same run_dir: all earlier stages manifest-skipped
+    (written_at unchanged), final output hash-equal to a clean run."""
+    import polyfuzz_spark.plans.curation as C
+
+    corpus = _corpus(spark)
+
+    clean = CurationPipeline(spark, str(tmp_path / "clean"), CFG)
+    clean.run(corpus)
+    want = _final_hash(clean)
+
+    real = C.ngram_contamination
+
+    def bomb(*a, **kw):
+        raise RuntimeError("simulated executor loss before decontam")
+
+    monkeypatch.setattr(C, "ngram_contamination", bomb)
+    run_dir = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="simulated"):
+        CurationPipeline(spark, run_dir, CFG).run(corpus)
+    monkeypatch.setattr(C, "ngram_contamination", real)
+
+    crashed = CurationPipeline(spark, run_dir, CFG)
+    done = ["ingest", "scrub", "strip", "verdicts", "curated", "dedup",
+            "split"]
+    for s in done:
+        assert crashed.is_complete(s), s
+    assert not crashed.is_complete("final")
+    stamps = {
+        s: json.loads(crashed._manifest(s).read_text())["written_at"]
+        for s in done
+    }
+
+    # resume without the corpus: completed checkpoints must carry it
+    summary = CurationPipeline(spark, run_dir, CFG).run(corpus=None)
+    assert all(m["complete"] for m in summary.values())
+    for s, t in stamps.items():
+        assert summary[s]["written_at"] == t, f"stage {s} was re-run"
+    assert _final_hash(crashed) == want
