@@ -31,7 +31,9 @@ Scale notes (100 TB thinking), stage by stage:
   map-side-combined aggregations whose outputs are small relative to the
   corpus (AQE broadcasts the joins back);
 * split's near-dup pairs come from banded MinHash LSH with bucket caps —
-  never all-pairs — and clustering reuses the adaptive CC tiers;
+  never all-pairs — verified by the packed map-side TF-IDF cosine kernel
+  (the ER flagship's measured scoring path), and clustering reuses the
+  adaptive CC tiers;
 * final's contamination check is a left-semi join of the SMALL test side
   against the train side's distinct (optionally xxhash64-compressed) gram
   set — a boilerplate gram in millions of train docs costs one row.
@@ -52,8 +54,15 @@ from ..operators.boilerplate import (
     DEFAULT_MIN_DOCS,
     strip_boilerplate,
 )
+from ..operators.cosine_join import score_candidates_packed
 from ..operators.decontam import DEFAULT_N, ngram_contamination
-from ..operators.dedup import leakage_safe_split, minhash_near_dups
+from ..operators.dedup import leakage_safe_split
+from ..operators.mapside import (
+    candidates_from_bands,
+    fit_idf_mapside,
+    minhash_bands_mapside,
+    vectorize_packed_mapside,
+)
 from .pipeline import CheckpointedPlan
 
 
@@ -68,12 +77,14 @@ class CurationConfig:
     min_alpha_milli: int = DEFAULT_THRESHOLDS["min_alpha_milli"]
     max_dup_token_milli: int = DEFAULT_THRESHOLDS["max_dup_token_milli"]
     max_top_bigram_milli: int = DEFAULT_THRESHOLDS["max_top_bigram_milli"]
-    # near-dup pairs feeding the leakage-safe split
-    shingle_n: int = 3
+    # near-dup pairs feeding the leakage-safe split: the ER flagship's
+    # blocking + packed-cosine machinery (measured ~15x cheaper than the
+    # exact-Jaccard verify at the same corpus), same measured-safe knobs
     dup_threshold: float = 0.8
-    num_hashes: int = 128
-    bands: int = 32
-    max_bucket_size: int | None = 20_000
+    num_hashes: int = 64
+    bands: int = 16
+    max_bucket_size: int | None = 2000
+    min_shared_bands: int = 1
     # split + decontamination
     train_frac: float = 0.8
     split_salt: str = "split"
@@ -174,14 +185,21 @@ class CurationPipeline(CheckpointedPlan):
 
         if not self.is_complete("split"):
             docs = self.read("dedup")
-            pairs = minhash_near_dups(
-                docs.select("doc_id", F.col(text).alias("key")),
-                "key",
-                n=cfg.shingle_n,
-                threshold=cfg.dup_threshold,
-                num_hashes=cfg.num_hashes,
-                bands=cfg.bands,
+            keyed = docs.select("doc_id", F.col(text).alias("key"))
+            bands = minhash_bands_mapside(
+                keyed, num_hashes=cfg.num_hashes, bands=cfg.bands,
+            )
+            cands = candidates_from_bands(
+                bands, None,
                 max_bucket_size=cfg.max_bucket_size,
+                min_shared_bands=cfg.min_shared_bands,
+                emit_both=False,
+            )
+            model = fit_idf_mapside(keyed, "key")
+            packed = vectorize_packed_mapside(model, keyed, "key",
+                                              compact=True)
+            pairs = score_candidates_packed(cands, packed, packed).where(
+                F.col("sim") >= F.lit(cfg.dup_threshold)
             )
             split_df = leakage_safe_split(
                 docs, pairs,
