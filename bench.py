@@ -201,18 +201,23 @@ def main() -> None:
     # one-shot number is therefore mostly a host-load sample; min-of-2
     # bounds the noise at the cost of one extra pass and is labeled in the
     # output ("protocol"). Disable with SPARK_GRAFT_BENCH_RUNS=1.
-    # scaling-efficiency legs (BENCH_ONLY=er) stay single-shot: their
-    # protocol is externally-driven best-of-3 COLD runs per parallelism
-    default_runs = "1" if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "er" \
-        else "2"
+    # scaling-efficiency legs (BENCH_ONLY=er|curation) stay single-shot:
+    # their protocol is externally-driven best-of-3 COLD runs per
+    # parallelism level
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    default_runs = "1" if only in ("er", "curation") else "2"
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", default_runs))
-    ers = [run_er_pipeline(spark, sf_val) for _ in range(n_runs)]
-    er = min(ers, key=lambda e: e["er_total_sec"])
 
     timings: dict[str, float] = {}
-    # SPARK_GRAFT_BENCH_ONLY=er → ER pipeline only (the scaling-efficiency
-    # runs at local[8] vs local[32] measure just the headline job)
-    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "er":
+    er = None
+    if only != "curation":
+        ers = [run_er_pipeline(spark, sf_val) for _ in range(n_runs)]
+        er = min(ers, key=lambda e: e["er_total_sec"])
+        timings["er_pipeline"] = er["er_total_sec"]
+
+    # SPARK_GRAFT_BENCH_ONLY=er|curation → that pipeline only (the
+    # scaling-efficiency runs at local[8] vs local[32] measure one job)
+    if only is None:
         from polyfuzz_spark.queries import all_queries
 
         for name, fn in all_queries().items():
@@ -223,10 +228,9 @@ def main() -> None:
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
-    timings["er_pipeline"] = er["er_total_sec"]
 
     cur = None
-    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "er":
+    if only != "er":
         curs = [run_curation_pipeline(spark, sf_val) for _ in range(n_runs)]
         cur = min(curs, key=lambda c: c["curation_total_sec"])
         timings["curation_pipeline"] = cur["curation_total_sec"]
@@ -250,12 +254,15 @@ def main() -> None:
             / max((wall1 - wall0) * (os.cpu_count() or 1), 1e-9),
             4,
         ),
-        "pairs_scored": er["pairs_scored"],
-        "pairs_per_sec": er["pairs_per_sec"],
-        "ordered_equiv_pairs_per_sec": er["ordered_equiv_pairs_per_sec"],
-        "pairwise_f1": er["pairwise_f1"],
-        "er": er,
     }
+    if er is not None:
+        out.update({
+            "pairs_scored": er["pairs_scored"],
+            "pairs_per_sec": er["pairs_per_sec"],
+            "ordered_equiv_pairs_per_sec": er["ordered_equiv_pairs_per_sec"],
+            "pairwise_f1": er["pairwise_f1"],
+            "er": er,
+        })
     if cur is not None:
         out["curation"] = cur
     print(json.dumps(out))
