@@ -75,6 +75,29 @@ def top_bigram_frac_milli(
     )
 
 
+def _max_run_length(arr_col: str):
+    """Longest run of equal adjacent elements in a SORTED array column —
+    i.e. the count of the most frequent element — as one pure map-side
+    ``aggregate`` expression (no shuffle). 0 for an empty array."""
+    run_of = lambda acc, x: F.when(
+        x == acc["prev"], acc["run"] + F.lit(1)
+    ).otherwise(F.lit(1))
+    return F.aggregate(
+        F.col(arr_col),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            F.greatest(acc["best"], run_of(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def curation_verdict(
     df: DataFrame,
     *,
@@ -87,17 +110,46 @@ def curation_verdict(
 ) -> DataFrame:
     """Per-document verdict: the four signals, ``keep`` (no rule fired) and
     ``reasons`` (fired rule names in ``RULE_ORDER``, comma-joined, '' when
-    kept)."""
-    base = df.select(
+    kept).
+
+    Fully map-side: the top-bigram mass is computed PER ROW as the longest
+    equal-run in the sorted bigram array (== the max bigram count, exactly
+    the relational :func:`top_bigram_frac_milli`) instead of the
+    explode → two-aggregation → join plan, so the verdict has NO shuffle at
+    all — it composes with partition pruning, streams (stateless
+    micro-batch map), and costs O(tokens log tokens) per document."""
+    toked = df.select(
         F.col(id_col),
-        F.size(TS.tokens(text_col)).cast("bigint").alias("n_tokens"),
         TS.alpha_ratio_milli(text_col).alias("alpha_milli"),
         TS.dup_token_frac_milli(text_col).alias("dup_token_frac_milli"),
+        TS.tokens(text_col).alias("__toks"),
     )
-    tb = top_bigram_frac_milli(df, text_col=text_col, id_col=id_col)
-    sig = base.join(tb, id_col, "left").withColumn(
+    bigs = toked.select(
+        F.col(id_col),
+        "alpha_milli",
+        "dup_token_frac_milli",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.when(
+            F.size("__toks") >= 2,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("__toks"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("__toks"), i + 1),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("__bigs"),
+    )
+    sig = bigs.withColumn(
         "top_bigram_frac_milli",
-        F.coalesce("top_bigram_frac_milli", F.lit(0)).cast("bigint"),
+        F.when(F.size("__bigs") == 0, F.lit(0)).otherwise(
+            F.floor(
+                F.lit(1000.0) * _max_run_length("__bigs") / F.size("__bigs")
+            )
+        ).cast("bigint"),
     )
     fired = {
         "too_few_tokens": F.col("n_tokens") < min_tokens,
