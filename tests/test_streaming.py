@@ -449,3 +449,47 @@ def test_admission_filter_empty_index_admits_everything(spark, fitted):
     assert out.admitted.all() and (out.best_sim_milli == 0).all()
     # the match kernel yields no rows against an empty index, not an error
     assert incremental_match(docs, empty).count() == 0
+
+
+def test_curation_verdict_stream_equals_batch(spark, tmp_path):
+    """The map-side curation verdict is stateless, so it runs unchanged as
+    a streaming curation gate (per-micro-batch projection, no state, no
+    watermark): file-source stream rows must verdict identically to the
+    batch plan — including the top-bigram rule, which used to need a
+    per-doc aggregation and now is a pure row expression."""
+    from polyfuzz_spark.functions.curation import curation_verdict
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short doc"),
+            (2, "spam " * 60),
+            (3, ("many distinct alpha words " + " ".join(
+                f"tok{i} body{i}" for i in range(30)))),
+            (4, "ab ab ab ab cd cd " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    docs.write.parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        in_dir
+    )
+    q = (
+        curation_verdict(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    s = spark.read.parquet(out_dir).toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    b = curation_verdict(docs).toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s[sorted(s.columns)], b[sorted(b.columns)])
