@@ -77,6 +77,66 @@ def word_ngrams(
     return grams.select(F.col(id_col), F.explode("__grams").alias("gram"))
 
 
+def gram_keys(
+    df: DataFrame,
+    *,
+    n: int = DEFAULT_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct HASHED word n-gram keys per document: ``(id_col, gram_key
+    bigint)`` — the scale form of :func:`word_ngrams` that never builds the
+    window strings. Each token is xxhash64-hashed once, each window key is
+    xxhash64 over the length-``n`` slice of token hashes, so per-token work
+    is O(n) longs instead of O(n) string bytes and the shuffle rows are
+    8-byte keys on BOTH sides. A collision can only ADD a contamination
+    flag (the conservative direction), probability ≈ n_grams²/2⁶⁵."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toked = df.select(
+        F.col(id_col),
+        TS.tokens(text_col).alias("__toks"),
+    ).where(F.size("__toks") >= n)
+    hashed = toked.select(
+        F.col(id_col),
+        F.transform("__toks", lambda t: F.xxhash64(t)).alias("__h"),
+    )
+    windows = F.when(
+        F.size("__h") >= n,  # same codegen-order guard as word_ngrams
+        F.transform(
+            F.sequence(F.lit(1), F.size("__h") - n + 1),
+            lambda i: F.xxhash64(F.slice("__h", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    keys = hashed.select(
+        F.col(id_col), F.array_distinct(windows).alias("__keys")
+    )
+    return keys.select(F.col(id_col), F.explode("__keys").alias("gram_key"))
+
+
+def contaminated_ids(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    n: int = DEFAULT_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contaminated eval documents by ROLLING-HASH overlap: ``(id_col,
+    n_shared_grams)`` — :func:`ngram_contamination` without the evidence
+    string, built entirely from :func:`gram_keys` so neither side ever
+    materializes gram text. The drop path for pipelines at scale; use
+    :func:`ngram_contamination` when audit evidence is wanted."""
+    tr_keys = gram_keys(
+        train, n=n, text_col=text_col, id_col=id_col
+    ).select("gram_key").distinct()
+    te_keys = gram_keys(test, n=n, text_col=text_col, id_col=id_col)
+    hits = te_keys.join(tr_keys, "gram_key", "left_semi")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_grams")
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     test: DataFrame,
@@ -113,10 +173,19 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed: bool = False,
+    rolling: bool = False,
 ) -> DataFrame:
     """The eval set with contaminated documents removed (one
-    ``left_anti`` equi-join on ``id_col`` against the flagged set)."""
-    flagged = ngram_contamination(
-        train, test, n=n, text_col=text_col, id_col=id_col, hashed=hashed
-    ).select(id_col)
+    ``left_anti`` equi-join on ``id_col`` against the flagged set).
+    ``rolling=True`` flags via :func:`contaminated_ids` (token-hash
+    windows, no gram strings anywhere — the scale path when no audit
+    evidence is needed)."""
+    if rolling:
+        flagged = contaminated_ids(
+            train, test, n=n, text_col=text_col, id_col=id_col
+        ).select(id_col)
+    else:
+        flagged = ngram_contamination(
+            train, test, n=n, text_col=text_col, id_col=id_col, hashed=hashed
+        ).select(id_col)
     return test.join(flagged, id_col, "left_anti")

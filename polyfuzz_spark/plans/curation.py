@@ -55,7 +55,7 @@ from ..operators.boilerplate import (
     strip_boilerplate,
 )
 from ..operators.cosine_join import score_candidates_packed
-from ..operators.decontam import DEFAULT_N, ngram_contamination
+from ..operators.decontam import DEFAULT_N, contaminated_ids
 from ..operators.dedup import leakage_safe_split
 from ..operators.mapside import (
     candidates_from_bands,
@@ -89,7 +89,6 @@ class CurationConfig:
     train_frac: float = 0.8
     split_salt: str = "split"
     decontam_n: int = DEFAULT_N
-    decontam_hashed: bool = True
     # Iceberg sink gate, same contract as ERConfig.iceberg_table_prefix
     iceberg_table_prefix: str | None = None
 
@@ -214,13 +213,15 @@ class CurationPipeline(CheckpointedPlan):
 
         if not self.is_complete("final"):
             sp = self.read("split")
-            contaminated = ngram_contamination(
+            # rolling token-hash keys: no gram strings on either side (the
+            # train side is the 100 TB side; evidence grams, when wanted,
+            # come from ngram_contamination on the flagged subset)
+            contaminated = contaminated_ids(
                 sp.where("split = 'train'"),
                 sp.where("split = 'test'"),
                 n=cfg.decontam_n,
                 text_col=text,
                 id_col="doc_id",
-                hashed=cfg.decontam_hashed,
             ).select("doc_id")
             self._checkpoint("final", sp.join(contaminated, "doc_id", "left_anti"))
             self._amend_manifest("final", {

@@ -158,16 +158,16 @@ def test_curation_crash_resumes_hash_equal(spark, tmp_path, monkeypatch):
     clean.run(corpus)
     want = _final_hash(clean)
 
-    real = C.ngram_contamination
+    real = C.contaminated_ids
 
     def bomb(*a, **kw):
         raise RuntimeError("simulated executor loss before decontam")
 
-    monkeypatch.setattr(C, "ngram_contamination", bomb)
+    monkeypatch.setattr(C, "contaminated_ids", bomb)
     run_dir = str(tmp_path / "crash")
     with pytest.raises(RuntimeError, match="simulated"):
         CurationPipeline(spark, run_dir, CFG).run(corpus)
-    monkeypatch.setattr(C, "ngram_contamination", real)
+    monkeypatch.setattr(C, "contaminated_ids", real)
 
     crashed = CurationPipeline(spark, run_dir, CFG)
     done = ["ingest", "scrub", "strip", "verdicts", "curated", "dedup",

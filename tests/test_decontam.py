@@ -92,3 +92,42 @@ def test_n_validation(spark, corpora):
     train, _ = corpora
     with pytest.raises(ValueError):
         word_ngrams(train, n=0)
+
+
+def test_rolling_ids_match_string_grams(spark, corpora):
+    """contaminated_ids (token-hash windows, no gram strings) flags exactly
+    the docs ngram_contamination flags, with identical shared-gram counts —
+    collisions would only ever ADD a flag, and none occur here."""
+    from polyfuzz_spark.operators.decontam import contaminated_ids
+
+    train, test = corpora
+    want = {
+        (r.doc_id, r.n_shared_grams)
+        for r in ngram_contamination(train, test, n=3).collect()
+    }
+    got = {
+        (r.doc_id, r.n_shared_grams)
+        for r in contaminated_ids(train, test, n=3).collect()
+    }
+    assert got == want and want  # non-vacuous
+
+
+def test_rolling_decontaminate_matches_string_path(spark, corpora):
+    train, test = corpora
+    a = sorted(
+        r.doc_id for r in decontaminate(train, test, n=3).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in decontaminate(train, test, n=3, rolling=True).collect()
+    )
+    assert a == b
+
+
+def test_gram_keys_short_docs_emit_nothing(spark):
+    from polyfuzz_spark.operators.decontam import gram_keys
+
+    df = _df(spark, [(1, "only two"), (2, "a b c d e")])
+    out = gram_keys(df, n=3).groupBy("doc_id").count().collect()
+    got = {r.doc_id: r["count"] for r in out}
+    assert got == {2: 3}
