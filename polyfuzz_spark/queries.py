@@ -1086,6 +1086,79 @@ def _oracle_corpus_curation() -> str:
     return curation_verdict_sql("documents")
 
 
+CODE_SPDX_MIT = "# SPDX-License-Identifier: MIT\n"
+CODE_APACHE = "/* Licensed under the Apache License, Version 2.0 */\n"
+CODE_AUTOGEN = "// Auto-Generated by protoc. DO NOT EDIT.\n"
+CODE_MINIFIED = "\n" + "x" * 1200
+
+
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The-Stack/StarCoder-style code-file verdict (functions/codestats.py):
+    max/mean line length, alnum fraction, autogenerated markers, license
+    guess → keep + fired-reason string. The synthetic corpus is prose, so
+    the query PLANTS code-shaped structure identically on both engines:
+    an SPDX MIT header (docs ≡ 0 mod 2), an Apache banner (≡ 0 mod 7,
+    exercising needle precedence on ≡ 0 mod 14), an autogen banner
+    (≡ 0 mod 3), a 1200-char minified line (≡ 0 mod 5), a punctuation-only
+    body (≡ 0 mod 13, firing low_alnum) and a multi-line body via
+    space→newline (≡ 0 mod 11) — so every rule and the license CASE chain
+    fire on deterministic subsets."""
+    from .functions.codestats import code_quality_verdict
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.pmod("doc_id", 2) == 0, F.lit(CODE_SPDX_MIT)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.pmod("doc_id", 7) == 0, F.lit(CODE_APACHE)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.pmod("doc_id", 3) == 0, F.lit(CODE_AUTOGEN)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.pmod("doc_id", 13) == 0, F.lit("{};() " * 50))
+            .when(
+                F.pmod("doc_id", 11) == 0,
+                F.replace(F.col("text"), F.lit(" "), F.lit("\n")),
+            )
+            .otherwise(F.col("text")),
+            F.when(F.pmod("doc_id", 5) == 0, F.lit(CODE_MINIFIED)).otherwise(
+                F.lit("")
+            ),
+        ).alias("content"),
+    )
+    return code_quality_verdict(planted, content_col="content")
+
+
+def _oracle_code_quality() -> str:
+    from .functions.codestats import code_quality_verdict_sql
+
+    plant = (
+        "CASE WHEN doc_id % 2 = 0 THEN "
+        "'# SPDX-License-Identifier: MIT' || chr(10) ELSE '' END || "
+        "CASE WHEN doc_id % 7 = 0 THEN "
+        "'/* Licensed under the Apache License, Version 2.0 */' || chr(10) "
+        "ELSE '' END || "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "'// Auto-Generated by protoc. DO NOT EDIT.' || chr(10) ELSE '' "
+        "END || "
+        "CASE WHEN doc_id % 13 = 0 THEN repeat('{};() ', 50) "
+        "WHEN doc_id % 11 = 0 THEN replace(text, ' ', chr(10)) "
+        "ELSE text END || "
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || repeat('x', 1200) "
+        "ELSE '' END"
+    )
+    # splice the twin's WITH chain onto the planted CTE
+    inner = code_quality_verdict_sql("planted", content_expr="content")
+    inner = inner.strip().replace("WITH sig AS", ", sig AS", 1)
+    return (
+        f"WITH planted AS (SELECT doc_id, {plant} AS content "
+        f"FROM documents) {inner}"
+    )
+
+
 def q_docs_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.groupBy("lang", "source").agg(
@@ -1603,6 +1676,7 @@ def all_queries():
         "train_test_split": q_train_test_split,
         "decontamination": q_decontamination,
         "corpus_curation": q_corpus_curation,
+        "code_quality": q_code_quality,
         "pii_scrub": q_pii_scrub,
         "strip_boilerplate": q_strip_boilerplate,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1644,6 +1718,7 @@ def all_oracles():
         "train_test_split": _split_oracle(),
         "decontamination": _oracle_decontamination(),
         "corpus_curation": _oracle_corpus_curation(),
+        "code_quality": _oracle_code_quality(),
         "pii_scrub": _oracle_pii_scrub(),
         "strip_boilerplate": _oracle_strip_boilerplate(),
         "simhash_near_dups": ORACLE_SIMHASH,
