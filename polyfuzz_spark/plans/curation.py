@@ -47,6 +47,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.codestats import code_quality_verdict
 from ..functions.curation import DEFAULT_THRESHOLDS, curation_verdict
 from ..functions.scrub import pii_count, scrub_text
 from ..operators.boilerplate import (
@@ -77,6 +78,11 @@ class CurationConfig:
     min_alpha_milli: int = DEFAULT_THRESHOLDS["min_alpha_milli"]
     max_dup_token_milli: int = DEFAULT_THRESHOLDS["max_dup_token_milli"]
     max_top_bigram_milli: int = DEFAULT_THRESHOLDS["max_top_bigram_milli"]
+    # when True, the verdicts stage also applies the code-payload rules
+    # (functions/codestats.py: line lengths, alnum fraction, autogen
+    # markers) and audits the license guess — keep becomes the AND of the
+    # text and code verdicts, reasons concatenate text-then-code
+    code_rules: bool = False
     # near-dup pairs feeding the leakage-safe split: the ER flagship's
     # blocking + packed-cosine machinery (measured ~15x cheaper than the
     # exact-Jaccard verify at the same corpus), same measured-safe knobs
@@ -154,11 +160,49 @@ class CurationPipeline(CheckpointedPlan):
                 max_dup_token_milli=cfg.max_dup_token_milli,
                 max_top_bigram_milli=cfg.max_top_bigram_milli,
             )
+            if cfg.code_rules:
+                # both verdicts are map-side projections of the same stage
+                # output; the doc_id equi-join of the two NARROW signal
+                # tables is the only shuffle this adds
+                code_v = code_quality_verdict(
+                    self.read("strip"), content_col=text, id_col="doc_id"
+                ).withColumnsRenamed(
+                    {"keep": "code_keep", "reasons": "code_reasons"}
+                )
+                tv = verdicts.withColumnsRenamed(
+                    {"keep": "text_keep", "reasons": "text_reasons"}
+                )
+                joined = tv.join(code_v, "doc_id")
+                # text rules first, then code rules — fixed audit order
+                reasons = F.concat_ws(
+                    ",",
+                    F.nullif(F.col("text_reasons"), F.lit("")),
+                    F.nullif(F.col("code_reasons"), F.lit("")),
+                )
+                verdicts = joined.select(
+                    *[c for c in joined.columns
+                      if c not in ("text_keep", "text_reasons",
+                                   "code_keep", "code_reasons")],
+                    (F.col("text_keep") & F.col("code_keep")).alias("keep"),
+                    reasons.alias("reasons"),
+                )
             back = self._checkpoint("verdicts", verdicts)
             kept = back.where("keep").count()
+            extra = {}
+            if cfg.code_rules:
+                extra["n_dropped_code_rules"] = int(
+                    back.where(
+                        "NOT keep AND ("
+                        "reasons LIKE '%long_lines%' OR "
+                        "reasons LIKE '%dense_lines%' OR "
+                        "reasons LIKE '%low_alnum%' OR "
+                        "reasons LIKE '%autogenerated%')"
+                    ).count()
+                )
             self._amend_manifest("verdicts", {
                 "n_kept": int(kept),
                 "n_dropped": json_rows(self, "verdicts") - int(kept),
+                **extra,
             })
 
         if not self.is_complete("curated"):

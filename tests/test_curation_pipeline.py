@@ -186,3 +186,43 @@ def test_curation_crash_resumes_hash_equal(spark, tmp_path, monkeypatch):
     for s, t in stamps.items():
         assert summary[s]["written_at"] == t, f"stage {s} was re-run"
     assert _final_hash(crashed) == want
+
+
+def test_code_rules_dimension(spark, tmp_path):
+    """code_rules=True adds the The-Stack/StarCoder file filters to the
+    verdicts stage: autogenerated and minified files drop with audited
+    reasons (text rules first, then code rules), the license guess is
+    carried for audit, and the manifest counts the code-rule drops."""
+    base = _corpus(spark)
+    extra = spark.createDataFrame(
+        [
+            (100020, "gen", "gen.py", "c0", "python",
+             "// Auto-Generated by protoc. DO NOT EDIT.\n" + DUP_TEXT),
+            (100021, "min", "min.js", "c0", "js", "var a=1;" + "x" * 1500),
+        ],
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string",
+    ).withColumn("entity_id", F.lit(-1).cast("long")).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    corpus = base.unionByName(extra.select(base.columns))
+
+    cfg = CurationConfig(
+        boiler_min_docs=8, min_alpha_milli=400, code_rules=True
+    )
+    pipe = CurationPipeline(spark, str(tmp_path / "code"), cfg)
+    summary = pipe.run(corpus)
+    assert all(m["complete"] for m in summary.values())
+
+    verdicts = pipe.read("verdicts")
+    assert "license" in verdicts.columns
+    rows = {r.doc_id: r for r in verdicts.where(~F.col("keep")).collect()}
+    assert "autogenerated" in rows[100020].reasons
+    assert "long_lines" in rows[100021].reasons
+    # fixed audit order: any fired text rule precedes any fired code rule
+    r21 = rows[100021].reasons.split(",")
+    assert r21.index("too_few_tokens") < r21.index("long_lines")
+    assert summary["verdicts"]["n_dropped_code_rules"] >= 2
+
+    survivors = {r.doc_id for r in pipe.read("final").select("doc_id").collect()}
+    assert 100020 not in survivors and 100021 not in survivors
