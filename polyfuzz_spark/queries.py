@@ -327,6 +327,97 @@ FROM p
 """
 
 
+def q_identifier_match_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-convention identifier linkage (functions/identifiers.py): the
+    from-side renders part names as PascalCase identifiers, the to-side as
+    snake_case; both canonicalize via identifier_norm and match by
+    normalized Levenshtein top-1 — PascalCase and snake_case spellings of
+    the same name score 1000. The code-payload preprocessing analog of the
+    reference's clean_string (polyfuzz/models/_utils.py).
+
+    Scale shape: construction + canonicalization are map-side regex
+    rewrites; the scorer is the family's repartitioned JVM crossJoin (the
+    from-side is a small sample — the blocked kernel takes over when both
+    sides are large, as everywhere in the edit-distance family)."""
+    from .functions.identifiers import identifier_norm
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pascal = F.array_join(
+        F.transform(
+            F.split("p_name", " "),
+            lambda t: F.concat(
+                F.upper(F.substring(t, 1, 1)), F.substring(t, 2, 1000)
+            ),
+        ),
+        "",
+    )
+    f = p.where(F.pmod("p_partkey", 40) == 0).select(
+        F.col("p_partkey").alias("from_id"),
+        pascal.alias("from_ident"),
+    )
+    t = p.where(F.pmod("p_partkey", 7) == 0).select(
+        F.col("p_partkey").alias("to_id"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("to_ident"),
+    )
+    f = f.select("from_id", "from_ident", identifier_norm("from_ident").alias("fn"))
+    t = t.select("to_id", "to_ident", identifier_norm("to_ident").alias("tn"))
+    n_part = spark.sparkContext.defaultParallelism * 2
+    sim = F.when(
+        F.greatest(F.length("fn"), F.length("tn")) == 0, F.lit(1.0)
+    ).otherwise(
+        1.0
+        - F.levenshtein("fn", "tn")
+        / F.greatest(F.length("fn"), F.length("tn"))
+    )
+    pairs = f.crossJoin(t).repartition(n_part).select(
+        "from_id", "from_ident", "to_id", "to_ident",
+        _milli(sim).alias("sim_milli"),
+    )
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("sim_milli"), F.asc("to_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("from_id", "from_ident", "to_id", "to_ident", "sim_milli")
+    )
+
+
+def _oracle_identifier_match_top1() -> str:
+    from .functions.identifiers import identifier_norm_sql
+
+    pascal = (
+        "array_to_string(list_transform(string_split(p_name, ' '), "
+        "t -> upper(substring(t, 1, 1)) || substring(t, 2, 1000)), '')"
+    )
+    sim = (
+        "CASE WHEN greatest(length(fn), length(tn)) = 0 THEN 1.0 "
+        "ELSE 1.0 - levenshtein(fn, tn) * 1.0 "
+        "/ greatest(length(fn), length(tn)) END"
+    )
+    milli = MILLI.format(x=sim)
+    return f"""
+WITH f AS (SELECT p_partkey AS from_id, {pascal} AS from_ident
+           FROM part WHERE p_partkey % 40 = 0),
+fn AS (SELECT from_id, from_ident,
+              {identifier_norm_sql('from_ident')} AS fn FROM f),
+t AS (SELECT p_partkey AS to_id, replace(p_name, ' ', '_') AS to_ident
+      FROM part WHERE p_partkey % 7 = 0),
+tn AS (SELECT to_id, to_ident,
+              {identifier_norm_sql('to_ident')} AS tn FROM t),
+pairs AS (
+  SELECT from_id, from_ident, to_id, to_ident,
+         {milli} AS sim_milli
+  FROM fn, tn),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY from_id
+                               ORDER BY sim_milli DESC, to_id) AS rnk
+  FROM pairs)
+SELECT from_id, from_ident, to_id, to_ident, sim_milli
+FROM ranked WHERE rnk = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Edit-distance top-1 (J5/J6, K2/K3) on short key slices
 # --------------------------------------------------------------------------
@@ -1665,6 +1756,7 @@ def all_queries():
         "score_pairs_jw": q_score_pairs_jw,
         "levenshtein_top1": q_levenshtein_top1,
         "token_sort_lev_top1": q_token_sort_lev_top1,
+        "identifier_match_top1": q_identifier_match_top1,
         "jaro_winkler_top1": q_jaro_winkler_top1,
         "exact_dedup_prefix": q_exact_dedup_prefix,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -1707,6 +1799,7 @@ def all_oracles():
         "score_pairs_jw": ORACLE_SCORE_PAIRS_JW,
         "levenshtein_top1": ORACLE_LEV_TOP1,
         "token_sort_lev_top1": _oracle_token_sort_lev_top1(),
+        "identifier_match_top1": _oracle_identifier_match_top1(),
         "jaro_winkler_top1": ORACLE_JW_TOP1,
         "exact_dedup_prefix": ORACLE_EXACT_DEDUP,
         "ngram_jaccard_dups": ORACLE_JACCARD,
