@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import textstats as TS
+from ..partitioning import ensure_min_partitions
 
 DEFAULT_N = 13  # the GPT-3 / Gopher decontamination window
 
@@ -55,7 +56,10 @@ def word_ngrams(
     the only data movement is whatever the caller does next."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toked = df.select(
+    # the explode amplifies each row ~tokens-fold BEFORE any shuffle, so a
+    # narrow scan (single small file in local mode) would serialize all
+    # gram construction onto one task; wide real-scale scans pass through
+    toked = ensure_min_partitions(df).select(
         F.col(id_col),
         TS.tokens(text_col).alias("__toks"),
     ).where(F.size("__toks") >= n)
@@ -93,7 +97,7 @@ def gram_keys(
     flag (the conservative direction), probability ≈ n_grams²/2⁶⁵."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toked = df.select(
+    toked = ensure_min_partitions(df).select(  # same explode pre-spread
         F.col(id_col),
         TS.tokens(text_col).alias("__toks"),
     ).where(F.size("__toks") >= n)
