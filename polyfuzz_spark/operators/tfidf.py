@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.ngrams import char_ngrams
 from ..functions.normalize import clean_string
+from ..partitioning import ensure_min_partitions
 
 
 @dataclass
@@ -97,7 +98,11 @@ def doc_terms(docs: DataFrame, key_col: str, cfg: TfidfConfig,
     ``clean_string(key)`` directly would re-run both regexes per n-gram,
     turning each row O(len²) (measured 64× slower on ~800-char docs)."""
     key = clean_string(key_col) if cfg.clean_string else F.col(key_col)
-    cleaned = docs.select(F.col(id_col).alias("doc_id"), key.alias("_k"))
+    # gram explode amplifies rows ~len-fold before any shuffle: widen a
+    # narrow scan first (wide real-scale inputs pass through untouched)
+    cleaned = ensure_min_partitions(docs).select(
+        F.col(id_col).alias("doc_id"), key.alias("_k")
+    )
     grams = char_ngrams(
         F.col("_k"), cfg.n_gram_range[0], cfg.n_gram_range[1],
         cfg.remove_space_ngrams,

@@ -28,6 +28,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, widened to the session parallelism when the scan is
+    narrow (one small local file): for full-table map-heavy queries whose
+    per-row cost (regex, per-row sorts, explodes) dwarfs the one tiny
+    shuffle this adds. Queries with selective pushed-down filters keep
+    using _docs — a repartition above the scan would not hurt pushdown
+    (Catalyst pushes through), but they don't need the fan-out."""
+    from .partitioning import ensure_min_partitions
+
+    return ensure_min_partitions(_docs(spark, sf_dir))
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -927,7 +939,7 @@ ORACLE_SIMHASH = _simhash_oracle(3)
 # Text analysis
 # --------------------------------------------------------------------------
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     return d.select(
         "doc_id",
         TS.token_count("text").alias("n_tokens"),
@@ -963,7 +975,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window, no skew risk beyond document length itself (bounded like
     every other per-doc explode here, cf. top_terms).
     """
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     # materialize the token array once; every signal below reads the column
     # (multi-use, so CollapseProject cannot inline the split back into the
     # per-element lambda — see the HOF re-evaluation gotcha)
@@ -1168,7 +1180,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter mix, every rule exercised."""
     from .functions.curation import curation_verdict
 
-    return curation_verdict(_docs(spark, sf_dir))
+    return curation_verdict(_docs_wide(spark, sf_dir))
 
 
 def _oracle_corpus_curation() -> str:
@@ -1196,7 +1208,7 @@ def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fire on deterministic subsets."""
     from .functions.codestats import code_quality_verdict
 
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     planted = d.select(
         "doc_id",
         F.concat(
