@@ -493,3 +493,48 @@ def test_curation_verdict_stream_equals_batch(spark, tmp_path):
         "doc_id"
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(s[sorted(s.columns)], b[sorted(b.columns)])
+
+
+def test_code_verdict_stream_equals_batch(spark, tmp_path):
+    """The code-quality verdict (functions/codestats.py) is a single
+    map-side projection, so it runs unchanged as a streaming admission
+    gate for a code-file feed: file-source stream rows must verdict
+    identically to the batch plan, license guess included."""
+    from polyfuzz_spark.functions.codestats import code_quality_verdict
+
+    files = spark.createDataFrame(
+        [
+            (1, "# SPDX-License-Identifier: MIT\ndef f():\n    return 1"),
+            (2, "// Auto-Generated by protoc. DO NOT EDIT.\nmsg Body {}"),
+            (3, "z" * 1400),
+            (4, "{};()[] " * 40),
+            (5, "plain short file\nwith two lines"),
+        ],
+        "doc_id long, content string",
+    )
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    files.write.parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, content string").parquet(
+        in_dir
+    )
+    q = (
+        code_quality_verdict(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    s = spark.read.parquet(out_dir).toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    b = code_quality_verdict(files).toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s[sorted(s.columns)], b[sorted(b.columns)])
+    assert not b.loc[b.doc_id.isin([2, 3, 4]), "keep"].any()
+    assert b.loc[b.doc_id == 1, "license"].iloc[0] == "mit"
