@@ -381,7 +381,7 @@ def q_identifier_match_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.levenshtein("fn", "tn")
         / F.greatest(F.length("fn"), F.length("tn"))
     )
-    pairs = f.crossJoin(t).repartition(n_part).select(
+    pairs = f.repartition(n_part).crossJoin(t).select(
         "from_id", "from_ident", "to_id", "to_ident",
         _milli(sim).alias("sim_milli"),
     )
@@ -446,10 +446,11 @@ def _lev_slices(spark, sf_dir):
 
 def q_levenshtein_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     f, t = _lev_slices(spark, sf_dir)
-    # spread before the O(|fk|·|tk|) scorer: the crossJoin inherits the
-    # tiny from-side's single partition
+    # spread the FROM side before the join: the crossJoin inherits its
+    # partitioning, so the O(|fk|·|tk|) scorer parallelizes without
+    # shuffling the materialized pair table
     n_part = spark.sparkContext.defaultParallelism * 2
-    pairs = f.crossJoin(t).repartition(n_part).select(
+    pairs = f.repartition(n_part).crossJoin(t).select(
         "from_id", "to_id", F.levenshtein("fk", "tk").alias("lev")
     )
     w = Window.partitionBy("from_id").orderBy(F.asc("lev"), F.asc("to_id"))
@@ -478,10 +479,11 @@ def q_jaro_winkler_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     f, t = _lev_slices(spark, sf_dir)
     jw = pair_scorer_udf("jaro_winkler")(F.col("fk"), F.col("tk")) / 100.0
-    # the crossJoin inherits the tiny from-side's single partition — spread
-    # the pair table before the Python scorer or it runs on one task
+    # spread the FROM side before the join — the crossJoin inherits its
+    # partitioning, so the Python scorer parallelizes without shuffling
+    # the materialized pair table
     n_part = spark.sparkContext.defaultParallelism * 2
-    pairs = f.crossJoin(t).repartition(n_part).select(
+    pairs = f.repartition(n_part).crossJoin(t).select(
         "from_id", "to_id", _milli(jw).alias("jw_milli")
     )
     w = Window.partitionBy("from_id").orderBy(
@@ -535,7 +537,7 @@ def q_token_sort_lev_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.levenshtein("fs", "ts")
         / F.greatest(F.length("fs"), F.length("ts"))
     )
-    pairs = f.crossJoin(t).repartition(n_part).select(
+    pairs = f.repartition(n_part).crossJoin(t).select(
         "from_id", "to_id", _milli(sim).alias("sim_milli")
     )
     w = Window.partitionBy("from_id").orderBy(
@@ -1515,7 +1517,7 @@ def q_wratio_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     f, t = _lev_slices(spark, sf_dir)
     n_part = spark.sparkContext.defaultParallelism * 2
     wr = pair_scorer_udf("WRatio")(F.col("fk"), F.col("tk")) / 100.0
-    pairs = f.crossJoin(t).repartition(n_part).select(
+    pairs = f.repartition(n_part).crossJoin(t).select(
         "from_id", "to_id", _milli(wr).alias("wr_milli")
     )
     w = Window.partitionBy("from_id").orderBy(
@@ -1584,7 +1586,7 @@ def q_editdistance_top1_normalized(spark: SparkSession, sf_dir: str) -> DataFram
         F.length("fk"), F.length("tk")
     )
     n_part = spark.sparkContext.defaultParallelism * 2
-    pairs = f.crossJoin(t).repartition(n_part).select(
+    pairs = f.repartition(n_part).crossJoin(t).select(
         "from_id", "to_id", sim.alias("sim")
     )
     w = Window.partitionBy("from_id").orderBy(F.desc("sim"), F.asc("to_id"))
