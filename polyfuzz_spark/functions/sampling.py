@@ -160,3 +160,31 @@ def sample_oracle_predicate(
         f"('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':' || '{salt}'), "
         f"1, {_HEX_DIGITS}))::BIGINT / {_DENOM!r} < {rate_sql}"
     )
+
+
+def split_by_key(
+    df: DataFrame,
+    key_col: str,
+    train_frac: float = 0.8,
+    salt: str = "split",
+) -> DataFrame:
+    """``df`` plus a ``split`` column ('train'/'test') assigned ATOMICALLY
+    per ``key_col`` value: every row sharing the key lands on the same
+    side. The code-corpus split discipline — files of one repository must
+    not straddle the train/eval boundary (near-identical files within a
+    repo are the rule, not the exception), the group-atomic primitive that
+    :func:`~polyfuzz_spark.operators.dedup.leakage_safe_split` instantiates
+    with near-dup cluster representatives. Map-side md5 filter: no shuffle,
+    rescan-stable, monotone in ``train_frac``."""
+    u = deterministic_uniform(key_col, salt)
+    return df.withColumn(
+        "split", F.when(u < F.lit(train_frac), F.lit("train")).otherwise(F.lit("test"))
+    )
+
+
+def split_by_key_oracle_sql(
+    key_sql: str, train_frac: float = 0.8, salt: str = "split"
+) -> str:
+    """The DuckDB twin of :func:`split_by_key`'s split expression."""
+    pred = sample_oracle_predicate(key_sql, repr(train_frac), salt)
+    return f"CASE WHEN {pred} THEN 'train' ELSE 'test' END"

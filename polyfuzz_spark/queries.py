@@ -713,6 +713,29 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "group_rep", "split")
 
 
+def q_repo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-atomic train/test split by a grouping KEY (functions/
+    sampling.split_by_key): every document sharing the key lands on one
+    side — the code-corpus discipline where a repository's files must not
+    straddle the train/eval boundary. Here the corpus's ``source`` column
+    stands in for the repo key; the leakage-safe cluster split
+    (train_test_split) is this primitive instantiated with near-dup
+    cluster representatives. Pure map-side md5 filter: no shuffle."""
+    from .functions.sampling import split_by_key
+
+    d = _docs(spark, sf_dir)
+    return split_by_key(d, "source", train_frac=0.75, salt="repo").select(
+        "doc_id", "source", "split"
+    )
+
+
+def _oracle_repo_split() -> str:
+    from .functions.sampling import split_by_key_oracle_sql
+
+    case = split_by_key_oracle_sql("source", 0.75, "repo")
+    return f"SELECT doc_id, source, {case} AS split FROM documents"
+
+
 def _split_oracle() -> str:
     from .functions.sampling import sample_oracle_predicate
 
@@ -1780,6 +1803,7 @@ def all_queries():
         "sample_stratified": q_sample_stratified,
         "mixture_resample": q_mixture_resample,
         "train_test_split": q_train_test_split,
+        "repo_split": q_repo_split,
         "decontamination": q_decontamination,
         "corpus_curation": q_corpus_curation,
         "code_quality": q_code_quality,
@@ -1823,6 +1847,7 @@ def all_oracles():
         "sample_stratified": _sample_oracle(),
         "mixture_resample": _mixture_oracle(),
         "train_test_split": _split_oracle(),
+        "repo_split": _oracle_repo_split(),
         "decontamination": _oracle_decontamination(),
         "corpus_curation": _oracle_corpus_curation(),
         "code_quality": _oracle_code_quality(),

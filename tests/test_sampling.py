@@ -121,3 +121,47 @@ def test_sample_plan_is_shuffle_free_filter_over_scan(spark, docs):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "Filter" in plan and "Scan parquet" in plan
+
+
+def test_split_by_key_is_group_atomic(spark):
+    from polyfuzz_spark.functions.sampling import split_by_key
+
+    rows = [(i, f"repo{i % 17}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, repo string")
+    out = split_by_key(df, "repo", train_frac=0.7, salt="x")
+    sides = (
+        out.groupBy("repo")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert sides == 1
+    splits = {r.repo: r.split for r in out.select("repo", "split").distinct().collect()}
+    assert set(splits.values()) == {"train", "test"}
+    # map-side: no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_split_by_key_twin_equality(spark):
+    import duckdb
+
+    from polyfuzz_spark.functions.sampling import (
+        split_by_key,
+        split_by_key_oracle_sql,
+    )
+
+    rows = [(i, f"org{i % 11}/proj{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, repo string")
+    got = {
+        r.doc_id: r.split
+        for r in split_by_key(df, "repo", 0.6, salt="tw").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, repo VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    case = split_by_key_oracle_sql("repo", 0.6, "tw")
+    for doc_id, split in con.execute(
+        f"SELECT doc_id, {case} FROM t"
+    ).fetchall():
+        assert got[doc_id] == split
