@@ -830,6 +830,47 @@ GROUP BY 1
 """
 
 
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 32
+CHUNK_W, CHUNK_O = 32, 8
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py): every document
+    gets its position in the concatenated BPE-token stream chopped into
+    512-token training sequences — (seq_id, seq_offset, end_seq_id) per
+    doc. Deterministic (shard, id) packing order; two-level prefix sum
+    (per-shard window + 32-row offset table), never a global sort."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), PACK_SEQ_LEN, n_shards=PACK_SHARDS
+    )
+
+
+def _oracle_sequence_packing() -> str:
+    from .operators.packing import pack_oracle_sql
+
+    return pack_oracle_sql(PACK_SEQ_LEN, n_shards=PACK_SHARDS)
+
+
+def q_code_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for embedding/indexing pipelines
+    (operators/packing.chunk_text): 32-token windows with 8 tokens of
+    overlap, one row per chunk with its sha256 — the step that turns a
+    20k-line source file into model-sized pieces. Map-side explode, no
+    shuffle; _docs_wide spreads the narrow local scan."""
+    from .operators.packing import chunk_text
+
+    return chunk_text(_docs_wide(spark, sf_dir), CHUNK_W, CHUNK_O)
+
+
+def _oracle_code_chunks() -> str:
+    from .operators.packing import chunk_oracle_sql
+
+    return chunk_oracle_sql(CHUNK_W, CHUNK_O)
+
+
 SAMPLE_RATES = {"en": 0.25, "zh": 0.5}
 SAMPLE_DEFAULT = 0.75
 SAMPLE_SALT = "r3"
@@ -1805,6 +1846,8 @@ def all_queries():
         "train_test_split": q_train_test_split,
         "repo_split": q_repo_split,
         "decontamination": q_decontamination,
+        "sequence_packing": q_sequence_packing,
+        "code_chunks": q_code_chunks,
         "corpus_curation": q_corpus_curation,
         "code_quality": q_code_quality,
         "pii_scrub": q_pii_scrub,
@@ -1849,6 +1892,8 @@ def all_oracles():
         "train_test_split": _split_oracle(),
         "repo_split": _oracle_repo_split(),
         "decontamination": _oracle_decontamination(),
+        "sequence_packing": _oracle_sequence_packing(),
+        "code_chunks": _oracle_code_chunks(),
         "corpus_curation": _oracle_corpus_curation(),
         "code_quality": _oracle_code_quality(),
         "pii_scrub": _oracle_pii_scrub(),
