@@ -871,6 +871,35 @@ def _oracle_code_chunks() -> str:
     return chunk_oracle_sql(CHUNK_W, CHUNK_O)
 
 
+QUANTILE_PS = [100, 500, 900]
+
+
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-calibrated curation thresholds: exact per-language
+    P10/P50/P90 of the quality score (operators/quantiles.py). The
+    corpus collapses to a ≤ groups×1001-row histogram in ONE map-side-
+    combined aggregation — exact quantiles with no per-group sort of the
+    raw rows (the scale trap of window-rank quantiles) and no
+    approx_percentile irreproducibility."""
+    from .operators.quantiles import grouped_exact_quantiles
+
+    d = _docs_wide(spark, sf_dir).select(
+        "lang", TS.quality_score_milli("text").alias("q")
+    )
+    return grouped_exact_quantiles(d, "lang", "q", QUANTILE_PS)
+
+
+def _oracle_quality_percentiles() -> str:
+    from .operators.quantiles import grouped_quantiles_oracle_sql
+
+    return grouped_quantiles_oracle_sql(
+        "lang",
+        f"CAST({TS.quality_score_milli_sql('text')} AS BIGINT)",
+        QUANTILE_PS,
+        group_alias="lang",
+    )
+
+
 SAMPLE_RATES = {"en": 0.25, "zh": 0.5}
 SAMPLE_DEFAULT = 0.75
 SAMPLE_SALT = "r3"
@@ -1848,6 +1877,7 @@ def all_queries():
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
         "code_chunks": q_code_chunks,
+        "quality_percentiles": q_quality_percentiles,
         "corpus_curation": q_corpus_curation,
         "code_quality": q_code_quality,
         "pii_scrub": q_pii_scrub,
@@ -1894,6 +1924,7 @@ def all_oracles():
         "decontamination": _oracle_decontamination(),
         "sequence_packing": _oracle_sequence_packing(),
         "code_chunks": _oracle_code_chunks(),
+        "quality_percentiles": _oracle_quality_percentiles(),
         "corpus_curation": _oracle_corpus_curation(),
         "code_quality": _oracle_code_quality(),
         "pii_scrub": _oracle_pii_scrub(),
