@@ -61,6 +61,18 @@ def get_spark(
             ),
         )
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # shuffle files are only deleted when the driver GC collects the
+        # RDDs that reference them (ContextCleaner); a large, mostly-idle
+        # heap can go 30+ min between GCs, so a multi-stage checkpointed
+        # job accumulates every stage's shuffle on spark.local.dir even
+        # though each checkpoint boundary makes the upstream shuffle
+        # unreferenced. Periodic GC keeps local-dir usage ~one stage deep
+        # (the 1M-doc curation leg OOMed the box via tmpfs growth without
+        # this). Cheap on short jobs: GC on an idle heap is milliseconds.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_PERIODIC_GC", "2min"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
