@@ -85,12 +85,18 @@ class CurationConfig:
     code_rules: bool = False
     # near-dup pairs feeding the leakage-safe split: the ER flagship's
     # blocking + packed-cosine machinery (measured ~15x cheaper than the
-    # exact-Jaccard verify at the same corpus), same measured-safe knobs
+    # exact-Jaccard verify at the same corpus). None = size-resolved via
+    # adaptive.resolve_blocking_knobs on the deduped corpus size —
+    # permissive recall below 500k docs, the measured-safe ER regime
+    # (b=16×r=4, cap 200, ≥2 shared bands) above it, where fixed
+    # permissive knobs made the banded join's single shuffle exceed the
+    # box (75+ GB at 1M docs of the shared-vocabulary code corpus).
+    # An explicit int always wins over the auto-resolution.
     dup_threshold: float = 0.8
-    num_hashes: int = 64
-    bands: int = 16
-    max_bucket_size: int | None = 2000
-    min_shared_bands: int = 1
+    num_hashes: int | None = None
+    bands: int | None = None
+    max_bucket_size: int | None = None
+    min_shared_bands: int | None = None
     # split + decontamination
     train_frac: float = 0.8
     split_salt: str = "split"
@@ -227,15 +233,30 @@ class CurationPipeline(CheckpointedPlan):
             })
 
         if not self.is_complete("split"):
+            from ..operators.adaptive import _UNSET, resolve_blocking_knobs
+
             docs = self.read("dedup")
+            # knobs sized to the DEDUPED corpus (row count is free from
+            # the dedup manifest); explicit config values pass through
+            knobs = resolve_blocking_knobs(
+                json_rows(self, "dedup"),
+                num_hashes=cfg.num_hashes,
+                bands=cfg.bands,
+                max_bucket_size=(
+                    cfg.max_bucket_size
+                    if cfg.max_bucket_size is not None
+                    else _UNSET
+                ),
+                min_shared_bands=cfg.min_shared_bands,
+            )
             keyed = docs.select("doc_id", F.col(text).alias("key"))
             bands = minhash_bands_mapside(
-                keyed, num_hashes=cfg.num_hashes, bands=cfg.bands,
+                keyed, num_hashes=knobs["num_hashes"], bands=knobs["bands"],
             )
             cands = candidates_from_bands(
                 bands, None,
-                max_bucket_size=cfg.max_bucket_size,
-                min_shared_bands=cfg.min_shared_bands,
+                max_bucket_size=knobs["max_bucket_size"],
+                min_shared_bands=knobs["min_shared_bands"],
                 emit_both=False,
             )
             model = fit_idf_mapside(keyed, "key")
@@ -253,6 +274,7 @@ class CurationPipeline(CheckpointedPlan):
             self._amend_manifest("split", {
                 "n_train": int(n_train),
                 "n_test": json_rows(self, "split") - int(n_train),
+                "blocking_knobs": knobs,
             })
 
         if not self.is_complete("final"):

@@ -39,7 +39,10 @@ def main() -> None:
                         "~530-700 milli; prose corpora can use 800)")
     p.add_argument("--boiler-min-docs", type=int, default=100)
     p.add_argument("--train-frac", type=float, default=0.8)
-    p.add_argument("--max-bucket-size", type=int, default=20_000)
+    p.add_argument("--max-bucket-size", type=int, default=None,
+                   help="band-bucket cap for the split stage's near-dup "
+                        "join; default: size-resolved from the deduped "
+                        "corpus (adaptive.resolve_blocking_knobs)")
     args = p.parse_args()
 
     from pyspark.sql import functions as F

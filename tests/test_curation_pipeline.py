@@ -226,3 +226,43 @@ def test_code_rules_dimension(spark, tmp_path):
 
     survivors = {r.doc_id for r in pipe.read("final").select("doc_id").collect()}
     assert 100020 not in survivors and 100021 not in survivors
+
+
+def test_split_blocking_knobs_size_resolved(spark, tmp_path, monkeypatch):
+    """The split stage's banded join sizes its knobs to the DEDUPED corpus:
+    permissive below the threshold, the measured-safe ER regime above it
+    (the fixed permissive defaults made the banded join's one shuffle
+    exceed the box at 1M docs). Explicit config knobs still win."""
+    from polyfuzz_spark.operators import adaptive
+
+    corpus = _corpus(spark)
+
+    # tiny corpus, default threshold → permissive regime recorded
+    pipe = CurationPipeline(spark, str(tmp_path / "perm"), CFG)
+    pipe.run(corpus)
+    knobs = json.loads(pipe._manifest("split").read_text())["blocking_knobs"]
+    assert knobs == adaptive.PERMISSIVE_KNOBS
+
+    # explicit knob overrides the regime
+    cfg = CurationConfig(boiler_min_docs=8, min_alpha_milli=400,
+                         max_bucket_size=777)
+    pipe3 = CurationPipeline(spark, str(tmp_path / "explicit"), cfg)
+    pipe3.run(corpus)
+    knobs3 = json.loads(pipe3._manifest("split").read_text())["blocking_knobs"]
+    assert knobs3["max_bucket_size"] == 777
+    assert knobs3["bands"] == adaptive.PERMISSIVE_KNOBS["bands"]
+
+    # threshold forced to 0 → the SCALE regime fires on the same corpus,
+    # and the pipeline still completes leakage-safe
+    monkeypatch.setattr(adaptive, "BLOCKED_KNOBS_MIN_DOCS", 0)
+    pipe2 = CurationPipeline(spark, str(tmp_path / "scale"), CFG)
+    summary = pipe2.run(corpus)
+    knobs2 = json.loads(pipe2._manifest("split").read_text())["blocking_knobs"]
+    assert knobs2 == adaptive.SCALE_KNOBS
+    assert all(m["complete"] for m in summary.values())
+    sides = (
+        pipe2.read("split").groupBy("group_rep")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k")).first()[0]
+    )
+    assert sides == 1
