@@ -85,16 +85,20 @@ class CurationConfig:
     code_rules: bool = False
     # near-dup pairs feeding the leakage-safe split: the ER flagship's
     # blocking + packed-cosine machinery (measured ~15x cheaper than the
-    # exact-Jaccard verify at the same corpus). None = size-resolved via
-    # adaptive.resolve_blocking_knobs on the deduped corpus size —
-    # permissive recall below 500k docs, the measured-safe ER regime
-    # (b=16×r=4, cap 200, ≥2 shared bands) above it, where fixed
-    # permissive knobs made the banded join's single shuffle exceed the
+    # exact-Jaccard verify at the same corpus). The BANDING stays pinned
+    # to b=16×r=4 — at dup_threshold 0.8 its candidate miss probability
+    # is already ≈2e-4 per pair, and the permissive r=2 regime would
+    # over-generate low-similarity candidates ~2.2× the pair-scoring
+    # wall at sf0.1 for zero extra output. The SAFETY knobs default to
+    # None = size-resolved via adaptive.resolve_blocking_knobs on the
+    # deduped corpus size: bucket cap 5000 / ≥1 shared band below 500k
+    # docs, the measured-safe cap 200 / ≥2 above it — where the fixed
+    # permissive values made the banded join's single shuffle exceed the
     # box (75+ GB at 1M docs of the shared-vocabulary code corpus).
-    # An explicit int always wins over the auto-resolution.
+    # Explicit ints always win over the auto-resolution.
     dup_threshold: float = 0.8
-    num_hashes: int | None = None
-    bands: int | None = None
+    num_hashes: int | None = 64
+    bands: int | None = 16
     max_bucket_size: int | None = None
     min_shared_bands: int | None = None
     # split + decontamination

@@ -237,11 +237,16 @@ def test_split_blocking_knobs_size_resolved(spark, tmp_path, monkeypatch):
 
     corpus = _corpus(spark)
 
-    # tiny corpus, default threshold → permissive regime recorded
+    # tiny corpus, default threshold → pinned banding + permissive
+    # safety knobs recorded
     pipe = CurationPipeline(spark, str(tmp_path / "perm"), CFG)
     pipe.run(corpus)
     knobs = json.loads(pipe._manifest("split").read_text())["blocking_knobs"]
-    assert knobs == adaptive.PERMISSIVE_KNOBS
+    assert knobs == {
+        "num_hashes": 64, "bands": 16,
+        "max_bucket_size": adaptive.PERMISSIVE_KNOBS["max_bucket_size"],
+        "min_shared_bands": adaptive.PERMISSIVE_KNOBS["min_shared_bands"],
+    }
 
     # explicit knob overrides the regime
     cfg = CurationConfig(boiler_min_docs=8, min_alpha_milli=400,
@@ -250,7 +255,7 @@ def test_split_blocking_knobs_size_resolved(spark, tmp_path, monkeypatch):
     pipe3.run(corpus)
     knobs3 = json.loads(pipe3._manifest("split").read_text())["blocking_knobs"]
     assert knobs3["max_bucket_size"] == 777
-    assert knobs3["bands"] == adaptive.PERMISSIVE_KNOBS["bands"]
+    assert knobs3["bands"] == 16  # config's pinned banding untouched
 
     # threshold forced to 0 → the SCALE regime fires on the same corpus,
     # and the pipeline still completes leakage-safe
