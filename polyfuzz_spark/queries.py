@@ -628,11 +628,37 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
 MINHASH_T = 0.8
 
 
-def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+# shared materialized intermediate #2 (same discipline as _RANKED_CACHE):
+# three contract queries (minhash_near_dups, dedup_corpus,
+# train_test_split) consume the SAME verified near-dup pair graph, so it
+# is localCheckpointed once per (session, sf_dir, dense-route budgets) —
+# the budgets key the cache so tests that monkeypatch the dedup routing
+# gates recompute instead of reading a stale route's result.
+_PAIRS_CACHE: dict = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
     from .operators.dedup import minhash_near_dups
 
+    key = (
+        spark.sparkContext.applicationId, sf_dir,
+        dedup.DENSE_MAX_VOCAB, dedup.DENSE_MAX_DOCS, dedup.DENSE_MAX_SETS,
+    )
+    hit = _PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
-    return minhash_near_dups(docs, n=3, threshold=MINHASH_T)
+    pairs = minhash_near_dups(docs, n=3, threshold=MINHASH_T).localCheckpoint(
+        eager=True
+    )
+    _PAIRS_CACHE.clear()  # keep exactly one materialized table alive
+    _PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir)
 
 
 ORACLE_MINHASH = ORACLE_JACCARD.replace(
@@ -646,10 +672,10 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving corpus, emitted with the north-rule per-row content sha256
     invariant (the oracle recomputes the digests independently, so survivor
     CONTENT equality is checked, not just survivor ids)."""
-    from .operators.dedup import dedup_corpus, minhash_near_dups
+    from .operators.dedup import dedup_corpus
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
-    pairs = minhash_near_dups(docs, n=3, threshold=MINHASH_T)
+    pairs = _minhash_pairs(spark, sf_dir)
     kept = dedup_corpus(docs, pairs, id_col="doc_id")
     return kept.select(
         "doc_id", F.sha2(F.col("key"), 256).alias("content_sha")
@@ -702,10 +728,10 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster representative — no near-duplicate ever straddles the
     train/test boundary (the eval-contamination guard every training-data
     pipeline needs). Singletons hash on their own id."""
-    from .operators.dedup import leakage_safe_split, minhash_near_dups
+    from .operators.dedup import leakage_safe_split
 
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
-    pairs = minhash_near_dups(docs, n=3, threshold=MINHASH_T)
+    pairs = _minhash_pairs(spark, sf_dir)
     out = leakage_safe_split(
         docs, pairs, id_col="doc_id",
         train_frac=SPLIT_TRAIN_FRAC, salt=SPLIT_SALT,
