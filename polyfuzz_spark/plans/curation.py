@@ -143,9 +143,10 @@ class CurationPipeline(CheckpointedPlan):
                     + pii_count(text, "ip")
                 ).alias("n_pii_scrubbed"),
             )
-            back = self._checkpoint("scrub", scrubbed)
-            tot = back.agg(F.sum("n_pii_scrubbed")).first()[0]
-            self._amend_manifest("scrub", {"pii_scrubbed_total": int(tot or 0)})
+            self._checkpoint(
+                "scrub", scrubbed,
+                metrics={"pii_scrubbed_total": F.sum("n_pii_scrubbed")},
+            )
 
         if not self.is_complete("strip"):
             docs = self.read("scrub")
@@ -156,9 +157,10 @@ class CurationPipeline(CheckpointedPlan):
                 text_col=text,
                 id_col="doc_id",
             )
-            back = self._checkpoint("strip", docs.drop(text).join(stripped, "doc_id"))
-            tot = back.agg(F.sum("n_lines_removed")).first()[0]
-            self._amend_manifest("strip", {"lines_removed_total": int(tot or 0)})
+            self._checkpoint(
+                "strip", docs.drop(text).join(stripped, "doc_id"),
+                metrics={"lines_removed_total": F.sum("n_lines_removed")},
+            )
 
         if not self.is_complete("verdicts"):
             verdicts = curation_verdict(
@@ -196,23 +198,24 @@ class CurationPipeline(CheckpointedPlan):
                     (F.col("text_keep") & F.col("code_keep")).alias("keep"),
                     reasons.alias("reasons"),
                 )
-            back = self._checkpoint("verdicts", verdicts)
-            kept = back.where("keep").count()
-            extra = {}
+            metrics = {"n_kept": F.sum(F.col("keep").cast("bigint"))}
             if cfg.code_rules:
-                extra["n_dropped_code_rules"] = int(
-                    back.where(
-                        "NOT keep AND ("
-                        "reasons LIKE '%long_lines%' OR "
-                        "reasons LIKE '%dense_lines%' OR "
-                        "reasons LIKE '%low_alnum%' OR "
-                        "reasons LIKE '%autogenerated%')"
-                    ).count()
+                metrics["n_dropped_code_rules"] = F.sum(
+                    (
+                        ~F.col("keep")
+                        & (
+                            F.col("reasons").contains("long_lines")
+                            | F.col("reasons").contains("dense_lines")
+                            | F.col("reasons").contains("low_alnum")
+                            | F.col("reasons").contains("autogenerated")
+                        )
+                    ).cast("bigint")
                 )
+            self._checkpoint("verdicts", verdicts, metrics=metrics)
             self._amend_manifest("verdicts", {
-                "n_kept": int(kept),
-                "n_dropped": json_rows(self, "verdicts") - int(kept),
-                **extra,
+                "n_dropped":
+                    json_rows(self, "verdicts")
+                    - json_manifest(self, "verdicts")["n_kept"],
             })
 
         if not self.is_complete("curated"):
@@ -273,11 +276,18 @@ class CurationPipeline(CheckpointedPlan):
                 docs, pairs,
                 train_frac=cfg.train_frac, salt=cfg.split_salt,
             )
-            back = self._checkpoint("split", split_df)
-            n_train = back.where("split = 'train'").count()
+            self._checkpoint(
+                "split", split_df,
+                metrics={
+                    "n_train": F.sum(
+                        (F.col("split") == "train").cast("bigint")
+                    ),
+                },
+            )
             self._amend_manifest("split", {
-                "n_train": int(n_train),
-                "n_test": json_rows(self, "split") - int(n_train),
+                "n_test":
+                    json_rows(self, "split")
+                    - json_manifest(self, "split")["n_train"],
                 "blocking_knobs": knobs,
             })
 
@@ -308,3 +318,8 @@ def json_rows(plan: CheckpointedPlan, stage: str) -> int:
     """Row count of a completed stage, read from its manifest (free — no
     Spark job)."""
     return int(json.loads(plan._manifest(stage).read_text())["rows"])
+
+
+def json_manifest(plan: CheckpointedPlan, stage: str) -> dict:
+    """Full manifest of a completed stage (free — no Spark job)."""
+    return json.loads(plan._manifest(stage).read_text())

@@ -123,7 +123,22 @@ class CheckpointedPlan:
 
     def _checkpoint(self, stage: str, df: DataFrame,
                     sim_col: str | None = None,
-                    extra: dict | None = None) -> DataFrame:
+                    extra: dict | None = None,
+                    metrics: dict | None = None) -> DataFrame:
+        """Write the stage, then manifest it. ``metrics`` maps manifest key
+        → aggregate Column; they are collected DURING the write job via
+        ``observe`` (CollectMetrics), so a stage's audit totals cost zero
+        extra passes — at scale a post-write ``agg`` is a full re-read of
+        the column it touches, once per stage. Null aggregates (empty
+        stage) land as 0."""
+        obs = None
+        if metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"{stage}_metrics")
+            df = df.observe(
+                obs, *[c.alias(k) for k, c in metrics.items()]
+            )
         self._write_stage(stage, df)
         back = self.read(stage)
         # per-partition lineage: row count per output file (parquet) or per
@@ -168,6 +183,10 @@ class CheckpointedPlan:
             dist = score_distribution(back, sim_col).collect()[0].asDict()
             dist["p50_p90_p99"] = list(dist["p50_p90_p99"] or [])
             manifest["score_distribution"] = dist
+        if obs is not None:
+            manifest.update({
+                k: (0 if v is None else v) for k, v in obs.get.items()
+            })
         if extra:
             manifest.update(extra)
         self._manifest(stage).write_text(json.dumps(manifest, indent=2))
