@@ -856,6 +856,109 @@ GROUP BY 1
 """
 
 
+SUBSTR_N = 13  # minimum detectable duplicated span, in tokens
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, detection half (Lee et al. ACL 2022 /
+    operators/substring_dedup.py): maximal token spans duplicated across
+    documents — overlapping 13-token rolling windows occurring in ≥ 2 docs,
+    merged per doc — excluding each window's canonical (min doc_id, pos)
+    occurrence, so exactly one copy of every duplicated span survives.
+
+    Scale shape: positional window occurrences explode map-side with
+    8-byte xxhash64 keys; the duplicated-key set is one map-side-combined
+    count over per-doc-distinct windows; span merging runs inside each
+    row off one sorted positions array — no window function, no per-key
+    sort."""
+    from .operators.substring_dedup import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), n=SUBSTR_N).select(
+        "doc_id",
+        F.col("tok_start").cast("bigint").alias("tok_start"),
+        F.col("tok_end").cast("bigint").alias("tok_end"),
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, rewrite half: the corpus with duplicated
+    spans CUT (every row survives; duplicated text survives exactly once,
+    in its canonical occurrence). Emits the sha256 of the rewritten token
+    stream so the oracle checks surviving CONTENT, not just counts."""
+    from .operators.substring_dedup import dedup_substrings
+
+    out = dedup_substrings(_docs(spark, sf_dir), n=SUBSTR_N)
+    return out.select(
+        "doc_id",
+        F.sha2("text", 256).alias("content_sha"),
+        "n_tokens_removed",
+    )
+
+
+# window occurrences with positions -> duplicated = in >= 2 docs ->
+# drop the canonical (min doc_id, pos) occurrence per window ->
+# gaps-and-islands merge per doc (equal-length windows make "same span"
+# exactly "consecutive starts <= n apart")
+def _substr_spans_cte() -> str:
+    t = TS.tokens_sql("text")
+    n = SUBSTR_N
+    return f"""
+toks AS (SELECT doc_id, {t} AS t FROM documents),
+occ AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(t) - {n} + 1),
+      i -> struct_pack(pos := i,
+                       g := array_to_string(list_slice(t, i, i + {n} - 1),
+                                            ' ')))) AS o
+  FROM toks WHERE len(t) >= {n}),
+occ2 AS (SELECT doc_id, struct_extract(o, 'pos') AS pos,
+                struct_extract(o, 'g') AS g FROM occ),
+dup AS (SELECT g FROM occ2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+od AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+       FROM occ2 WHERE g IN (SELECT g FROM dup)),
+hits AS (SELECT doc_id, pos FROM od WHERE rn > 1),
+fl AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) <= {n}
+                   THEN 0 ELSE 1 END AS brk
+       FROM hits),
+isl AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+        FROM fl),
+spans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS tok_start,
+                 CAST(MAX(pos) + {n} - 1 AS BIGINT) AS tok_end
+          FROM isl GROUP BY doc_id, isle)
+"""
+
+
+def _oracle_substring_spans() -> str:
+    return f"WITH {_substr_spans_cte()} SELECT * FROM spans"
+
+
+def _oracle_substring_dedup() -> str:
+    return f"""
+WITH {_substr_spans_cte()},
+spd AS (SELECT doc_id, list(struct_pack(s := tok_start, e := tok_end)) AS sp
+        FROM spans GROUP BY doc_id),
+fin AS (SELECT t2.doc_id, t2.t,
+               coalesce(sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sp
+        FROM toks t2 LEFT JOIN spd USING (doc_id)),
+fin2 AS (SELECT doc_id, t,
+                list_filter(generate_series(1, len(t)),
+                  i -> len(list_filter(sp,
+                         s -> i >= struct_extract(s, 's')
+                              AND i <= struct_extract(s, 'e'))) = 0) AS keep
+         FROM fin)
+SELECT doc_id,
+       sha256(coalesce(
+         array_to_string(list_transform(keep, i -> t[i]), ' '), ''))
+         AS content_sha,
+       CAST(len(t) - len(keep) AS BIGINT) AS n_tokens_removed
+FROM fin2
+"""
+
+
 PACK_SEQ_LEN = 512
 PACK_SHARDS = 32
 CHUNK_W, CHUNK_O = 32, 8
@@ -1901,6 +2004,8 @@ def all_queries():
         "train_test_split": q_train_test_split,
         "repo_split": q_repo_split,
         "decontamination": q_decontamination,
+        "substring_spans": q_substring_spans,
+        "substring_dedup": q_substring_dedup,
         "sequence_packing": q_sequence_packing,
         "code_chunks": q_code_chunks,
         "quality_percentiles": q_quality_percentiles,
@@ -1948,6 +2053,8 @@ def all_oracles():
         "train_test_split": _split_oracle(),
         "repo_split": _oracle_repo_split(),
         "decontamination": _oracle_decontamination(),
+        "substring_spans": _oracle_substring_spans(),
+        "substring_dedup": _oracle_substring_dedup(),
         "sequence_packing": _oracle_sequence_packing(),
         "code_chunks": _oracle_code_chunks(),
         "quality_percentiles": _oracle_quality_percentiles(),
