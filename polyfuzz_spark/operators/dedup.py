@@ -635,3 +635,82 @@ def drop_non_representatives(
     non-representative members."""
     drops = assignments.where(F.col(id_col) != F.col(rep_col)).select(id_col)
     return docs.join(drops, id_col, "left_anti")
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_bucket_size: int | None = 20_000,
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: the NEW documents that survive
+    against an EXISTING corpus — the 100 TB operating mode, where a fresh
+    crawl/ingest batch is deduped against the standing corpus without ever
+    re-processing the corpus itself.
+
+    A new doc is dropped when (a) its content exactly equals any corpus
+    doc's (sha256 equi-join — catches everything including docs too short
+    to emit shingles), or (b) its char n-gram Jaccard vs any corpus doc is
+    ≥ ``threshold`` — two-sided banded MinHash candidates VERIFIED by
+    exact Jaccard, the same contract as :func:`minhash_near_dups` (at the
+    default b=32 × r=4 banding the candidate miss probability at j=0.8 is
+    ≈5e-8; precision is exact). Returns surviving new rows unchanged.
+
+    Intra-batch duplicates are NOT this verb's job (run
+    :func:`dedup_corpus` on the batch first/after); the corpus side only
+    ever contributes signatures + gram sets — both linear, both
+    incremental-friendly (persist them once per snapshot and reuse).
+
+    Tiny-vocabulary corpora degrade MinHash (every signature collides —
+    see :func:`minhash_near_dups`); this cross-corpus form keeps the LSH
+    route unconditionally because the corpus side at this verb's scale is
+    the large-vocab regime by construction. For small curated sets, verify
+    with :func:`ngram_jaccard_pairs` on the union instead.
+    """
+    nd = new_docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(key_col).alias("key"))
+    cd = corpus.select(F.col(id_col).alias("doc_id"),
+                       F.col(key_col).alias("key"))
+    # (a) exact content drop
+    new_sha = nd.select("doc_id", F.sha2("key", 256).alias("__sha"))
+    corpus_sha = cd.select(F.sha2("key", 256).alias("__sha")).distinct()
+    exact_ids = new_sha.join(corpus_sha, "__sha", "left_semi").select("doc_id")
+    # (b) near-dup drop: two-sided banded candidates + exact Jaccard verify
+    cfg = TfidfConfig(n_gram_range=(n, n), clean_string=False,
+                      remove_space_ngrams=False)
+    cands = minhash_candidates(
+        nd, cd, "key", cfg, num_hashes=num_hashes, bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+    gn = _distinct_grams(nd, "key", n)
+    gc = _distinct_grams(cd, "key", n)
+    sn = gn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    sc = gc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    ga = gn.select(F.col("doc_id").alias("from_id"), "term")
+    gb = gc.select(F.col("doc_id").alias("gb_id"),
+                   F.col("term").alias("t_b"))
+    inter = (
+        cands.join(ga, "from_id")
+        .join(gb, (F.col("to_id") == F.col("gb_id"))
+              & (F.col("term") == F.col("t_b")))
+        .groupBy("from_id", "to_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    near_ids = (
+        inter.join(sn.select(F.col("doc_id").alias("from_id"), "na"),
+                   "from_id")
+        .join(sc.select(F.col("doc_id").alias("to_id"), "nb"), "to_id")
+        .where(jac >= F.lit(threshold))
+        .select(F.col("from_id").alias("doc_id"))
+        .distinct()
+    )
+    flagged = exact_ids.union(near_ids).distinct()
+    return new_docs.join(
+        flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )

@@ -856,6 +856,67 @@ GROUP BY 1
 """
 
 
+SNAP_SALT = "snapshot"
+SNAP_CORPUS_FRAC = 0.8  # 80% standing corpus, 20% incoming batch
+
+
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the 100 TB operating mode:
+    split the corpus 80/20 on the shared md5 keep-predicate into a
+    standing corpus and an incoming batch, then keep only the batch docs
+    that are neither exact content matches (sha256 equi-join) nor n-gram
+    near-dups (two-sided banded MinHash candidates, exact Jaccard ≥ 0.8
+    verify) of any corpus doc. The corpus is never re-deduped — it only
+    contributes signatures + gram sets, both linear and reusable across
+    snapshots (operators/dedup.py::dedup_against)."""
+    from .functions.sampling import deterministic_uniform
+    from .operators.dedup import dedup_against
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    is_corpus = deterministic_uniform("doc_id", SNAP_SALT) < F.lit(
+        SNAP_CORPUS_FRAC
+    )
+    kept = dedup_against(
+        d.where(~is_corpus), d.where(is_corpus), threshold=MINHASH_T
+    )
+    return kept.select(
+        "doc_id", F.sha2("key", 256).alias("content_sha")
+    )
+
+
+def _oracle_dedup_against() -> str:
+    from .functions.sampling import sample_oracle_predicate
+
+    pred = sample_oracle_predicate(
+        "doc_id", str(SNAP_CORPUS_FRAC), salt=SNAP_SALT
+    )
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE {pred}),
+newd AS (SELECT * FROM documents WHERE NOT ({pred})),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, length(text) - 2), i -> substring(text, i, 3)))) AS term
+  FROM documents WHERE length(text) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS nid, b.doc_id AS cid, count(*) AS c
+  FROM g a JOIN g b ON a.term = b.term
+  WHERE a.doc_id IN (SELECT doc_id FROM newd)
+    AND b.doc_id IN (SELECT doc_id FROM corpus)
+  GROUP BY 1, 2),
+near AS (
+  SELECT DISTINCT nid AS doc_id FROM inter
+  JOIN sz sa ON nid = sa.doc_id
+  JOIN sz sb ON cid = sb.doc_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= {MINHASH_T}),
+exact AS (
+  SELECT DISTINCT n2.doc_id FROM newd n2 JOIN corpus c2 ON n2.text = c2.text)
+SELECT doc_id, sha256(text) AS content_sha FROM newd
+WHERE doc_id NOT IN (SELECT doc_id FROM near)
+  AND doc_id NOT IN (SELECT doc_id FROM exact)
+"""
+
+
 SUBSTR_N = 13  # minimum detectable duplicated span, in tokens
 
 
@@ -1998,6 +2059,7 @@ def all_queries():
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_against": q_dedup_against,
         "dedup_corpus_embedding": q_dedup_corpus_embedding,
         "sample_stratified": q_sample_stratified,
         "mixture_resample": q_mixture_resample,
@@ -2047,6 +2109,7 @@ def all_oracles():
         "ngram_jaccard_dups": ORACLE_JACCARD,
         "minhash_near_dups": ORACLE_MINHASH,
         "dedup_corpus": ORACLE_DEDUP_CORPUS,
+        "dedup_against": _oracle_dedup_against(),
         "dedup_corpus_embedding": ORACLE_DEDUP_CORPUS_EMB,
         "sample_stratified": _sample_oracle(),
         "mixture_resample": _mixture_oracle(),
