@@ -637,6 +637,9 @@ def drop_non_representatives(
     return docs.join(drops, id_col, "left_anti")
 
 
+_KNOB_UNSET = object()  # None = "no cap" is a meaningful explicit value
+
+
 def dedup_against(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -644,9 +647,9 @@ def dedup_against(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    num_hashes: int = 128,
-    bands: int = 32,
-    max_bucket_size: int | None = 20_000,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    max_bucket_size=_KNOB_UNSET,
 ) -> DataFrame:
     """Incremental (cross-snapshot) dedup: the NEW documents that survive
     against an EXISTING corpus — the 100 TB operating mode, where a fresh
@@ -662,54 +665,104 @@ def dedup_against(
     ≈5e-8; precision is exact). Returns surviving new rows unchanged.
 
     Intra-batch duplicates are NOT this verb's job (run
-    :func:`dedup_corpus` on the batch first/after); the corpus side only
-    ever contributes signatures + gram sets — both linear, both
-    incremental-friendly (persist them once per snapshot and reuse).
+    :func:`dedup_corpus` on the batch first/after); on the LSH route the
+    corpus side only ever contributes signatures + gram sets — both
+    linear, both incremental-friendly (persist them once per snapshot and
+    reuse).
 
-    Tiny-vocabulary corpora degrade MinHash (every signature collides —
-    see :func:`minhash_near_dups`); this cross-corpus form keeps the LSH
-    route unconditionally because the corpus side at this verb's scale is
-    the large-vocab regime by construction. For small curated sets, verify
-    with :func:`ngram_jaccard_pairs` on the union instead.
+    Adaptive like :func:`minhash_near_dups` — and for the same measured
+    reason: on a shared-vocabulary corpus banded MinHash stops pruning
+    (61% of ALL cross pairs became candidates at sf0.1, 36 s for a 1k×4k
+    split), so tiny-vocab corpora take the exact dense/distinct-set routes
+    over the parity-tagged union (budget-bounded by the same gates) and
+    only large-vocab corpora run the two-sided banded join, with
+    ``resolve_blocking_knobs`` sizing the safety knobs from the corpus
+    size unless explicitly overridden. Requires non-negative ids (the
+    dense routes tag sides as ``2·id`` / ``2·id + 1``, so colliding id
+    spaces between batch and corpus are fine).
     """
     nd = new_docs.select(F.col(id_col).alias("doc_id"),
                          F.col(key_col).alias("key"))
     cd = corpus.select(F.col(id_col).alias("doc_id"),
                        F.col(key_col).alias("key"))
-    # (a) exact content drop
+    # (a) exact content drop — also shrinks the near-dup input (an exact
+    # dup is a j=1 near-dup; no point shingling it again)
     new_sha = nd.select("doc_id", F.sha2("key", 256).alias("__sha"))
     corpus_sha = cd.select(F.sha2("key", 256).alias("__sha")).distinct()
-    exact_ids = new_sha.join(corpus_sha, "__sha", "left_semi").select("doc_id")
-    # (b) near-dup drop: two-sided banded candidates + exact Jaccard verify
-    cfg = TfidfConfig(n_gram_range=(n, n), clean_string=False,
-                      remove_space_ngrams=False)
-    cands = minhash_candidates(
-        nd, cd, "key", cfg, num_hashes=num_hashes, bands=bands,
-        max_bucket_size=max_bucket_size,
+    # two consumers (survivor filter + final flag union): materialize the
+    # tiny id list once, not the corpus-wide sha distinct twice
+    exact_ids = (
+        new_sha.join(corpus_sha, "__sha", "left_semi").select("doc_id")
+        .localCheckpoint(eager=True)
     )
-    gn = _distinct_grams(nd, "key", n)
-    gc = _distinct_grams(cd, "key", n)
-    sn = gn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-    sc = gc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
-    ga = gn.select(F.col("doc_id").alias("from_id"), "term")
-    gb = gc.select(F.col("doc_id").alias("gb_id"),
-                   F.col("term").alias("t_b"))
-    inter = (
-        cands.join(ga, "from_id")
-        .join(gb, (F.col("to_id") == F.col("gb_id"))
-              & (F.col("term") == F.col("t_b")))
-        .groupBy("from_id", "to_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    nd_surv = nd.join(exact_ids, "doc_id", "left_anti")
+    # (b) near-dup drop over the parity-tagged union: corpus → 2·id,
+    # batch → 2·id+1, so one gram table drives the routing gate and every
+    # route's pair output filters to batch×corpus straddles by parity
+    cd2 = cd.select((F.col("doc_id") * 2).alias("doc_id"), "key")
+    nd2 = nd_surv.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "key")
+    routed, g = _tiny_vocab_route(
+        _distinct_grams(cd2.unionByName(nd2), "key", n), threshold
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    near_ids = (
-        inter.join(sn.select(F.col("doc_id").alias("from_id"), "na"),
-                   "from_id")
-        .join(sc.select(F.col("doc_id").alias("to_id"), "nb"), "to_id")
-        .where(jac >= F.lit(threshold))
-        .select(F.col("from_id").alias("doc_id"))
-        .distinct()
-    )
+    if routed is not None:
+        # dense/distinct-set route: exact all-pairs over the union
+        # (budget-bounded by the DENSE_MAX gates); keep batch-side ids of
+        # straddling pairs
+        near_ids = (
+            routed.where(
+                F.pmod(F.col("from_id"), 2) + F.pmod(F.col("to_id"), 2)
+                == F.lit(1)
+            )
+            .select(
+                F.expr(
+                    "CASE WHEN pmod(from_id, 2) = 1 THEN (from_id - 1) DIV 2 "
+                    "ELSE (to_id - 1) DIV 2 END"
+                ).alias("doc_id")
+            )
+            .distinct()
+        )
+    else:
+        # large vocab: two-sided banded candidates (size-resolved safety
+        # knobs) + exact Jaccard verify off the ONE checkpointed gram
+        # table (g carries parity-tagged ids; candidates are remapped into
+        # that space)
+        from .adaptive import resolve_blocking_knobs
+
+        kw = {} if max_bucket_size is _KNOB_UNSET else {
+            "max_bucket_size": max_bucket_size
+        }
+        knobs = resolve_blocking_knobs(
+            cd.count(), num_hashes=num_hashes, bands=bands, **kw
+        )
+        cfg = TfidfConfig(n_gram_range=(n, n), clean_string=False,
+                          remove_space_ngrams=False)
+        cands = minhash_candidates(nd_surv, cd, "key", cfg, **knobs).select(
+            (F.col("from_id") * 2 + 1).alias("from_id"),
+            (F.col("to_id") * 2).alias("to_id"),
+        )
+        sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+        ga = g.select(F.col("doc_id").alias("from_id"), "term")
+        gb = g.select(F.col("doc_id").alias("gb_id"),
+                      F.col("term").alias("t_b"))
+        inter = (
+            cands.join(ga, "from_id")
+            .join(gb, (F.col("to_id") == F.col("gb_id"))
+                  & (F.col("term") == F.col("t_b")))
+            .groupBy("from_id", "to_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        near_ids = (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("from_id"),
+                             F.col("n_grams").alias("na")), "from_id")
+            .join(
+                sizes.select(F.col("doc_id").alias("to_id"),
+                             F.col("n_grams").alias("nb")), "to_id")
+            .where(jac >= F.lit(threshold))
+            .select(F.expr("(from_id - 1) DIV 2").alias("doc_id"))
+            .distinct()
+        )
     flagged = exact_ids.union(near_ids).distinct()
     return new_docs.join(
         flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
