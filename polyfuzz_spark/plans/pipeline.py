@@ -204,19 +204,35 @@ class CheckpointedPlan:
     def checkpoint_ingest(self, corpus: DataFrame | None) -> None:
         """Shared first stage: assert the per-row sha256 content invariant
         at the boundary, repartition by doc_id hash so downstream joins see
-        uniform input regardless of source file layout, checkpoint."""
+        uniform input regardless of source file layout, checkpoint.
+
+        The invariant rides the write job itself (``observe`` metric — a
+        pre-write ``count`` was a second full pass over the source). On a
+        violation the stage MANIFEST is removed before raising, so the
+        stage is incomplete for resume purposes and re-runs; the partially
+        written data dir is overwritten then."""
         assert corpus is not None, "first run needs the corpus DataFrame"
-        bad = corpus.where(
-            F.sha2(F.col("content"), 256) != F.col("content_sha256")
-        ).count() if "content_sha256" in corpus.columns else 0
-        if bad:
-            raise ValueError(f"sha256 invariant violated on {bad} rows")
+        has_sha = "content_sha256" in corpus.columns
+        metrics = {
+            "sha256_violations": F.sum(
+                (F.sha2(F.col("content"), 256)
+                 != F.col("content_sha256")).cast("bigint")
+            )
+        } if has_sha else None
         n_part = self.spark.sparkContext.defaultParallelism * 2
         self._checkpoint(
             "ingest",
             corpus.repartition(n_part, "doc_id"),
-            extra={"sha256_violations": 0},
+            metrics=metrics,
+            extra=None if has_sha else {"sha256_violations": 0},
         )
+        if has_sha:
+            bad = json.loads(self._manifest("ingest").read_text())[
+                "sha256_violations"
+            ]
+            if bad:
+                self._manifest("ingest").unlink()
+                raise ValueError(f"sha256 invariant violated on {bad} rows")
 
 
 class ERPipeline(CheckpointedPlan):
@@ -318,13 +334,18 @@ class ERPipeline(CheckpointedPlan):
             survivors = drop_non_representatives(
                 self.read("ingest"), self.read("clusters"),
             )
-            self._checkpoint(
-                "survivors", survivors,
-                extra={
-                    "rows_dropped": self.read("clusters").where(
-                        F.col("doc_id") != F.col("rep_doc_id")
-                    ).count(),
-                },
+            self._checkpoint("survivors", survivors)
+            # rows_dropped = ingest − survivors by construction (the drop
+            # list is exactly the non-representative members, all of which
+            # exist in ingest) — manifest arithmetic, not a re-count of the
+            # clusters table
+            rows = {
+                s: json.loads(self._manifest(s).read_text())["rows"]
+                for s in ("ingest", "survivors")
+            }
+            self._amend_manifest(
+                "survivors",
+                {"rows_dropped": int(rows["ingest"] - rows["survivors"])},
             )
 
         return {

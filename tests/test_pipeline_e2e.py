@@ -370,3 +370,27 @@ def test_pipeline_salted_hot_buckets_recover_dropped_recall(spark, tmp_path):
     dropped = f1("drop", "drop")
     assert salted >= 0.99, salted
     assert salted >= dropped, (salted, dropped)
+
+
+def test_ingest_sha_violation_raises_and_stays_incomplete(spark, tmp_path):
+    """The sha256 invariant now rides the ingest WRITE (observe metric):
+    a corrupted row must still raise, and the stage must stay incomplete
+    so a resume re-runs it (the manifest is removed, not left claiming
+    completion over bad data)."""
+    clean = generate_corpus(spark, n_entities=10, seed=1)
+    victim = clean.agg(F.min("doc_id")).first()[0]
+    corpus = clean.withColumn(
+        "content_sha256",
+        F.when(F.col("doc_id") == victim, F.lit("deadbeef")).otherwise(
+            F.col("content_sha256")
+        ),
+    )
+    pipe = ERPipeline(spark, str(tmp_path / "er_bad"), CFG)
+    with pytest.raises(ValueError, match="sha256 invariant violated on 1"):
+        pipe.run(corpus)
+    assert not pipe.is_complete("ingest")
+    # a clean corpus on the same run_dir recovers (re-runs ingest)
+    good = generate_corpus(spark, n_entities=10, seed=1)
+    summary = pipe.run(good)
+    assert summary["ingest"]["sha256_violations"] == 0
+    assert all(m["complete"] for m in summary.values())
