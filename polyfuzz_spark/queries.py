@@ -2043,6 +2043,104 @@ FROM sessions GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Fork / clone detection (group-level set similarity, operators/groupsim.py)
+# --------------------------------------------------------------------------
+FORK_MIN_MILLI = 100  # fork edge threshold for the families query
+
+
+def _fork_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(group_key, item_key): repo proxy = source/lang stratum, file
+    fingerprint = sha256 of the 16-char content prefix (the same cheap
+    first-pass fingerprint ``exact_dedup_prefix`` keys on)."""
+    return _docs(spark, sf_dir).select(
+        F.concat_ws("/", "source", "lang").alias("group_key"),
+        F.sha2(F.substring("text", 1, 16), 256).alias("item_key"),
+    )
+
+
+def q_repo_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise repo Jaccard over shared file fingerprints — fork/clone
+    detection, the repo-granularity dedup pass code corpora run before
+    file-level near-dup (The Stack's fork dedup). Never all-pairs: item
+    equi-join + map-side-combined pair counts (``groupsim.py``)."""
+    from .operators.groupsim import group_jaccard_pairs
+
+    return group_jaccard_pairs(
+        _fork_items(spark, sf_dir), min_shared=1
+    ).select(
+        "group_a", "group_b",
+        F.col("shared").cast("bigint").alias("shared"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("jacc_milli").cast("bigint").alias("jacc_milli"),
+    )
+
+
+ORACLE_REPO_FORKS = """
+WITH m AS (
+  SELECT DISTINCT source || '/' || lang AS g,
+         sha256(substring(text, 1, 16)) AS item
+  FROM documents
+),
+sz AS (SELECT g, count(*) AS n FROM m GROUP BY 1),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS shared
+  FROM m a JOIN m b ON a.item = b.item AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b, CAST(shared AS BIGINT) AS shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST((1000 * shared) // (sa.n + sb.n - shared) AS BIGINT) AS jacc_milli
+FROM inter
+JOIN sz sa ON group_a = sa.g
+JOIN sz sb ON group_b = sb.g
+"""
+
+
+def q_fork_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive fork families over the repo-Jaccard pair graph at
+    ``jacc_milli ≥ FORK_MIN_MILLI``: every group mapped to its family
+    representative (min key), singletons to themselves — the repo-level
+    analog of ``dedup_corpus``'s survivor selection."""
+    from .operators.groupsim import fork_groups, group_jaccard_pairs
+
+    items = _fork_items(spark, sf_dir)
+    pairs = group_jaccard_pairs(items, min_shared=1)
+    return fork_groups(pairs, items, fork_min_milli=FORK_MIN_MILLI)
+
+
+ORACLE_FORK_FAMILIES = f"""
+WITH RECURSIVE m AS (
+  SELECT DISTINCT source || '/' || lang AS g,
+         sha256(substring(text, 1, 16)) AS item
+  FROM documents
+),
+sz AS (SELECT g, count(*) AS n FROM m GROUP BY 1),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS shared
+  FROM m a JOIN m b ON a.item = b.item AND a.g < b.g
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT group_a, group_b FROM inter
+  JOIN sz sa ON group_a = sa.g
+  JOIN sz sb ON group_b = sb.g
+  WHERE (1000 * shared) // (sa.n + sb.n - shared) >= {FORK_MIN_MILLI}
+),
+sym AS (SELECT group_a AS a, group_b AS b FROM pairs
+        UNION SELECT group_b AS a, group_a AS b FROM pairs),
+reach(v, r) AS (
+  SELECT a AS v, a AS r FROM sym
+  UNION
+  SELECT s.b AS v, reach.r FROM sym s JOIN reach ON s.a = reach.v
+),
+rep AS (SELECT v, min(r) AS r FROM reach GROUP BY v)
+SELECT sz.g AS group_key, coalesce(rep.r, sz.g) AS fork_rep
+FROM sz LEFT JOIN rep ON sz.g = rep.v
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 def all_queries():
@@ -2065,6 +2163,8 @@ def all_queries():
         "mixture_resample": q_mixture_resample,
         "train_test_split": q_train_test_split,
         "repo_split": q_repo_split,
+        "repo_forks": q_repo_forks,
+        "fork_families": q_fork_families,
         "decontamination": q_decontamination,
         "substring_spans": q_substring_spans,
         "substring_dedup": q_substring_dedup,
@@ -2115,6 +2215,8 @@ def all_oracles():
         "mixture_resample": _mixture_oracle(),
         "train_test_split": _split_oracle(),
         "repo_split": _oracle_repo_split(),
+        "repo_forks": ORACLE_REPO_FORKS,
+        "fork_families": ORACLE_FORK_FAMILIES,
         "decontamination": _oracle_decontamination(),
         "substring_spans": _oracle_substring_spans(),
         "substring_dedup": _oracle_substring_dedup(),
