@@ -61,6 +61,13 @@ def get_spark(
             ),
         )
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # catalog tables (bucketed layouts, sources/bucketed.py) land in the
+        # warehouse dir; keep it off the repo tree. On a real deployment the
+        # catalog is Hive/Iceberg and this conf comes from the cluster.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE", "/tmp/spark-warehouse"),
+        )
         # shuffle files are only deleted when the driver GC collects the
         # RDDs that reference them (ContextCleaner); a large, mostly-idle
         # heap can go 30+ min between GCs, so a multi-stage checkpointed
