@@ -145,6 +145,52 @@ def contaminated_ids(
     )
 
 
+def contamination_fraction(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    n: int = DEFAULT_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rolling: bool = True,
+) -> DataFrame:
+    """Graded contamination per eval doc: ``(id_col, n_grams,
+    n_shared_grams, contamination_milli)`` over that doc's DISTINCT word
+    n-grams — the thresholdable form of the boolean flag (PaLM/Llama-style
+    "high-overlap" policies drop at e.g. ≥70% shared grams instead of ≥1).
+
+    Same join asymmetry as :func:`contaminated_ids`: the train side is one
+    distinct key set, the eval side LEFT-joins it and counts hits vs
+    totals in a single map-side-combinable aggregation — no cross-doc
+    fan-out. Docs shorter than ``n`` tokens have no grams and emit no row
+    (same contract as the other operators here). ``rolling=False`` uses
+    gram strings on both sides (the oracle-parity path; hashes can only
+    ADD shared counts, probability ≈ n_grams²/2⁶⁵)."""
+    if rolling:
+        tr = gram_keys(train, n=n, text_col=text_col, id_col=id_col)
+        te = gram_keys(test, n=n, text_col=text_col, id_col=id_col)
+        key = "gram_key"
+    else:
+        tr = word_ngrams(train, n=n, text_col=text_col, id_col=id_col)
+        te = word_ngrams(test, n=n, text_col=text_col, id_col=id_col)
+        key = "gram"
+    tr_keys = tr.select(key).distinct().withColumn("__hit", F.lit(1))
+    marked = te.join(tr_keys, key, "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared_grams"),
+        )
+        .withColumn(
+            "contamination_milli",
+            F.expr("(1000 * n_shared_grams) div n_grams"),
+        )
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     test: DataFrame,

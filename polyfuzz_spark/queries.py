@@ -856,6 +856,56 @@ GROUP BY 1
 """
 
 
+def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded (thresholdable) contamination: for EVERY eval doc, its
+    distinct 13-gram count, how many of those appear anywhere in the train
+    split, and the milli fraction — the PaLM/Llama-style high-overlap
+    policy input, vs ``decontamination``'s boolean flag. String-gram route
+    (exact twin); the rolling-hash route is value-identical (pinned in
+    tests/test_decontam.py) and is what the pipeline drop path uses."""
+    from .functions.sampling import deterministic_uniform
+    from .operators.decontam import contamination_fraction
+
+    d = _docs(spark, sf_dir)
+    is_train = deterministic_uniform("doc_id", DECON_SALT) < F.lit(
+        DECON_TRAIN_FRAC
+    )
+    return contamination_fraction(
+        d.where(is_train), d.where(~is_train), n=DECON_N, rolling=False
+    )
+
+
+def _oracle_contamination_fraction() -> str:
+    from .functions.sampling import sample_oracle_predicate
+
+    t = TS.tokens_sql("text")
+    pred = sample_oracle_predicate(
+        "doc_id", str(DECON_TRAIN_FRAC), salt=DECON_SALT
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {t} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, len(t) - {DECON_N} + 1),
+      i -> array_to_string(list_slice(t, i, i + {DECON_N} - 1), ' ')))) AS g
+  FROM toks WHERE len(t) >= {DECON_N}),
+tr AS (SELECT DISTINCT g FROM grams WHERE {pred}),
+te AS (SELECT doc_id, g FROM grams WHERE NOT ({pred})),
+marked AS (
+  SELECT te.doc_id,
+         CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM te LEFT JOIN tr ON te.g = tr.g),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(hit) AS BIGINT) AS n_shared_grams
+  FROM marked GROUP BY 1)
+SELECT doc_id, n_grams, n_shared_grams,
+       CAST((1000 * n_shared_grams) // n_grams AS BIGINT)
+         AS contamination_milli
+FROM agg
+"""
+
+
 SNAP_SALT = "snapshot"
 SNAP_CORPUS_FRAC = 0.8  # 80% standing corpus, 20% incoming batch
 
@@ -2166,6 +2216,7 @@ def all_queries():
         "repo_forks": q_repo_forks,
         "fork_families": q_fork_families,
         "decontamination": q_decontamination,
+        "contamination_fraction": q_contamination_fraction,
         "substring_spans": q_substring_spans,
         "substring_dedup": q_substring_dedup,
         "sequence_packing": q_sequence_packing,
@@ -2218,6 +2269,7 @@ def all_oracles():
         "repo_forks": ORACLE_REPO_FORKS,
         "fork_families": ORACLE_FORK_FAMILIES,
         "decontamination": _oracle_decontamination(),
+        "contamination_fraction": _oracle_contamination_fraction(),
         "substring_spans": _oracle_substring_spans(),
         "substring_dedup": _oracle_substring_dedup(),
         "sequence_packing": _oracle_sequence_packing(),

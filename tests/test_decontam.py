@@ -131,3 +131,33 @@ def test_gram_keys_short_docs_emit_nothing(spark):
     out = gram_keys(df, n=3).groupBy("doc_id").count().collect()
     got = {r.doc_id: r["count"] for r in out}
     assert got == {2: 3}
+
+
+def test_contamination_fraction_planted_values(spark, corpora):
+    from polyfuzz_spark.operators.decontam import contamination_fraction
+
+    train, test = corpora
+    out = {
+        r.doc_id: (r.n_grams, r.n_shared_grams, r.contamination_milli)
+        for r in contamination_fraction(
+            train, test, n=3, rolling=False
+        ).collect()
+    }
+    # doc 10: 8 tokens -> 6 windows, 3 leaked -> 500 milli
+    assert out[10] == (6, 3, 500)
+    # doc 11: 7 tokens -> 5 windows, clean
+    assert out[11] == (5, 0, 0)
+    # doc 12: 9 tokens -> 7 windows, but "import numpy as" repeats ->
+    # 6 DISTINCT grams, 1 leaked -> 166 milli
+    assert out[12] == (6, 1, 166)
+    # doc 13 shorter than n: no row at all
+    assert 13 not in out
+
+
+def test_contamination_fraction_rolling_matches_string(spark, corpora):
+    from polyfuzz_spark.operators.decontam import contamination_fraction
+
+    train, test = corpora
+    s = contamination_fraction(train, test, n=3, rolling=False)
+    h = contamination_fraction(train, test, n=3, rolling=True)
+    assert sorted(map(tuple, s.collect())) == sorted(map(tuple, h.collect()))
