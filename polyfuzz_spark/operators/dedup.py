@@ -359,6 +359,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    min_grams: int = 1,
+) -> DataFrame:
+    """(contained_id, container_id, containment_milli) — doc pairs where
+    the SMALLER distinct n-gram set is ≥ ``threshold`` covered by the
+    larger one: the subset-duplication detector (a doc pasted inside a
+    bigger one scores containment ≈ 1 but Jaccard ≈ |small|/|big| — far
+    below any near-dup threshold, which is exactly how quote-and-extend
+    duplication escapes Jaccard dedup; cf. the span-level view in
+    ``substring_dedup.py``).
+
+    Containment = |A∩B| / min(|A|,|B|), milli-quantized with integer
+    arithmetic; ``contained_id`` is the smaller-set doc (lower id on
+    ties). ``min_grams`` drops docs whose distinct-gram set is smaller
+    than it (tiny sets make containment trivially noisy).
+
+    Scale shape: one gram equi-join + map-side-combined pair counts —
+    the cosine term join's sparsity argument. Banded MinHash is NOT used
+    here because LSH bands estimate Jaccard, which subset pairs fail by
+    construction; the join is bounded instead by ``max_df`` (drop grams
+    in more than max_df docs — sizes are recomputed after the cut, same
+    contract as ``groupsim.group_jaccard_pairs``)."""
+    g = _distinct_grams(docs, key_col, n, id_col=id_col)
+    if max_df is not None:
+        dfc = g.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+        g = g.join(dfc.where(F.col("_df") <= max_df), "term").drop("_df")
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    if min_grams > 1:
+        sizes = sizes.where(F.col("n_grams") >= int(min_grams))
+        g = g.join(sizes.select("doc_id"), "doc_id", "left_semi")
+    a = g.select(F.col("doc_id").alias("_a"), "term")
+    b = g.select(F.col("doc_id").alias("_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sized = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("_a"),
+                         F.col("n_grams").alias("_na")), "_a")
+        .join(
+            sizes.select(F.col("doc_id").alias("_b"),
+                         F.col("n_grams").alias("_nb")), "_b")
+        .withColumn(
+            "containment_milli",
+            F.expr("(1000 * _inter) div least(_na, _nb)"),
+        )
+        .where(F.col("containment_milli") >= int(round(threshold * 1000)))
+    )
+    smaller_is_a = (F.col("_na") < F.col("_nb")) | (
+        (F.col("_na") == F.col("_nb")) & (F.col("_a") < F.col("_b"))
+    )
+    return sized.select(
+        F.when(smaller_is_a, F.col("_a")).otherwise(F.col("_b"))
+        .alias("contained_id"),
+        F.when(smaller_is_a, F.col("_b")).otherwise(F.col("_a"))
+        .alias("container_id"),
+        F.col("containment_milli").cast("bigint").alias("containment_milli"),
+    )
+
+
 def minhash_near_dups(
     docs: DataFrame,
     key_col: str = "key",

@@ -625,6 +625,48 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
 """
 
 
+CONTAIN_T = 0.9
+
+
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplication pairs: the smaller distinct-3-gram set ≥ 90%
+    covered by the larger (containment, not Jaccard — catches a doc
+    pasted inside a bigger one, which Jaccard misses by construction).
+    One gram equi-join, no LSH (bands estimate Jaccard, which subset
+    pairs fail); see operators/dedup.py::ngram_containment_pairs."""
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    return ngram_containment_pairs(docs, n=3, threshold=CONTAIN_T)
+
+
+ORACLE_CONTAINMENT = f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, length(text) - 2), i -> substring(text, i, 3)))) AS term
+  FROM documents WHERE length(text) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS f, b.doc_id AS t, count(*) AS c
+  FROM g a JOIN g b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT f, t, sa.n AS na, sb.n AS nb,
+         (1000 * c) // least(sa.n, sb.n) AS cm
+  FROM inter JOIN sz sa ON f = sa.doc_id JOIN sz sb ON t = sb.doc_id
+  WHERE (1000 * c) // least(sa.n, sb.n) >= {int(CONTAIN_T * 1000)}
+)
+SELECT CASE WHEN na < nb OR (na = nb AND f < t) THEN f ELSE t END
+         AS contained_id,
+       CASE WHEN na < nb OR (na = nb AND f < t) THEN t ELSE f END
+         AS container_id,
+       CAST(cm AS BIGINT) AS containment_milli
+FROM sized
+"""
+
+
 MINHASH_T = 0.8
 
 
@@ -2205,6 +2247,7 @@ def all_queries():
         "jaro_winkler_top1": q_jaro_winkler_top1,
         "exact_dedup_prefix": q_exact_dedup_prefix,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "containment_dups": q_containment_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_corpus": q_dedup_corpus,
         "dedup_against": q_dedup_against,
@@ -2258,6 +2301,7 @@ def all_oracles():
         "jaro_winkler_top1": ORACLE_JW_TOP1,
         "exact_dedup_prefix": ORACLE_EXACT_DEDUP,
         "ngram_jaccard_dups": ORACLE_JACCARD,
+        "containment_dups": ORACLE_CONTAINMENT,
         "minhash_near_dups": ORACLE_MINHASH,
         "dedup_corpus": ORACLE_DEDUP_CORPUS,
         "dedup_against": _oracle_dedup_against(),
