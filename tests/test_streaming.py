@@ -538,3 +538,53 @@ def test_code_verdict_stream_equals_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(s[sorted(s.columns)], b[sorted(b.columns)])
     assert not b.loc[b.doc_id.isin([2, 3, 4]), "keep"].any()
     assert b.loc[b.doc_id == 1, "license"].iloc[0] == "mit"
+
+
+def test_streaming_decontam_gate_matches_batch(spark, tmp_path):
+    """foreachBatch decontamination gate: survivors across all micro-batches
+    must equal the batch operator's survivors on the same corpus, and the
+    planted benchmark leak must be gone."""
+    from polyfuzz_spark.operators.decontam import decontaminate
+    from polyfuzz_spark.streaming.decontam_gate import stream_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the seven seas rose to meet the sailing moon tonight")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            # leaks the benchmark 5-gram "seven seas rose to meet"
+            (1, "we recall the seven seas rose to meet them all at dawn"),
+            (2, "a perfectly clean training document with original words"),
+            (3, "another clean one that shares nothing with the benchmark"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    # two parquet files -> two micro-batches at maxFilesPerTrigger=1
+    incoming.where("doc_id <= 2").coalesce(1).write.parquet(in_dir)
+    incoming.where("doc_id > 2").coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_decontaminate(stream, bench, out_dir, ck_dir, n=5)
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in decontaminate(
+            bench, incoming, n=5, rolling=True
+        ).select("doc_id").collect()
+    )
+    assert got == want
+    assert 1 not in got and got == [2, 3, 4]
