@@ -469,9 +469,18 @@ def minhash_near_dups(
         max_bucket_size=max_bucket_size,
     ).where(F.col("from_id") < F.col("to_id"))
     g = g0  # the eligibility-checked gram table IS the verify input
+    # merge hints: the gram table reaches these joins through an explode
+    # (Generate), whose size estimate keeps the CHILD's sizeInBytes — a
+    # systematic ~grams-per-doc× undercount that lets the static planner
+    # pick BroadcastHashJoin on a table that is actually GiB-scale (the
+    # localCheckpoint originStats inherit the same estimate).  This verify
+    # path only runs on the LARGE-vocab route, where gram/sizes tables are
+    # big by construction, so sort-merge is always the right plan here.
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    ga = g.select(F.col("doc_id").alias("from_id"), "term")
-    gb = g.select(F.col("doc_id").alias("gb_id"), F.col("term").alias("t_b"))
+    ga = g.select(F.col("doc_id").alias("from_id"), "term").hint("merge")
+    gb = g.select(
+        F.col("doc_id").alias("gb_id"), F.col("term").alias("t_b")
+    ).hint("merge")
     inter = (
         cands.join(ga, "from_id")
         .join(
@@ -481,8 +490,12 @@ def minhash_near_dups(
         .groupBy("from_id", "to_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("from_id"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("to_id"), F.col("n_grams").alias("nb"))
+    sa = sizes.select(
+        F.col("doc_id").alias("from_id"), F.col("n_grams").alias("na")
+    ).hint("merge")
+    sb = sizes.select(
+        F.col("doc_id").alias("to_id"), F.col("n_grams").alias("nb")
+    ).hint("merge")
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         inter.join(sa, "from_id")
@@ -809,10 +822,15 @@ def dedup_against(
             (F.col("from_id") * 2 + 1).alias("from_id"),
             (F.col("to_id") * 2).alias("to_id"),
         )
+        # merge hints for the same reason as minhash_near_dups' verify:
+        # gram/sizes stats are explode-undercounted and this branch only
+        # fires on the large-vocab route — a static BroadcastHashJoin here
+        # is a GiB-scale driver collect waiting to happen (observed at the
+        # 250k-entity snapshot bench before the hints).
         sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-        ga = g.select(F.col("doc_id").alias("from_id"), "term")
+        ga = g.select(F.col("doc_id").alias("from_id"), "term").hint("merge")
         gb = g.select(F.col("doc_id").alias("gb_id"),
-                      F.col("term").alias("t_b"))
+                      F.col("term").alias("t_b")).hint("merge")
         inter = (
             cands.join(ga, "from_id")
             .join(gb, (F.col("to_id") == F.col("gb_id"))
@@ -824,10 +842,12 @@ def dedup_against(
         near_ids = (
             inter.join(
                 sizes.select(F.col("doc_id").alias("from_id"),
-                             F.col("n_grams").alias("na")), "from_id")
+                             F.col("n_grams").alias("na")).hint("merge"),
+                "from_id")
             .join(
                 sizes.select(F.col("doc_id").alias("to_id"),
-                             F.col("n_grams").alias("nb")), "to_id")
+                             F.col("n_grams").alias("nb")).hint("merge"),
+                "to_id")
             .where(jac >= F.lit(threshold))
             .select(F.expr("(from_id - 1) DIV 2").alias("doc_id"))
             .distinct()

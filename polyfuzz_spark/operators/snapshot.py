@@ -183,6 +183,11 @@ def dedup_against_snapshot_index(
         max_bucket_size=mf["max_bucket_size"],
         min_shared_bands=mf["min_shared_bands"],
     )
+    # the batch-side gram table reaches these joins through an explode
+    # whose size estimate keeps the child's sizeInBytes (a ~grams-per-doc×
+    # undercount) — merge-hint that lineage so the static planner can
+    # never driver-broadcast it; the parquet-backed index side has
+    # accurate stats and is left to the planner.
     sizes_b = b_grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("na")
     )
@@ -191,7 +196,8 @@ def dedup_against_snapshot_index(
     )
     inter = (
         cands.join(
-            b_grams.select(F.col("doc_id").alias("from_id"), "gram_key"),
+            b_grams.select(F.col("doc_id").alias("from_id"), "gram_key")
+            .hint("merge"),
             "from_id",
         )
         .join(
@@ -206,7 +212,8 @@ def dedup_against_snapshot_index(
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     near_ids = (
         inter.join(
-            sizes_b.select(F.col("doc_id").alias("from_id"), "na"),
+            sizes_b.select(F.col("doc_id").alias("from_id"), "na")
+            .hint("merge"),
             "from_id",
         )
         .join(

@@ -147,3 +147,49 @@ def test_survivors_anti_join_broadcasts_drop_list(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln and "Broadcast" not in ln:
             raise AssertionError(f"corpus side shuffled: {ln}\n{plan}")
+
+
+def _assert_no_broadcast_contains_explode(plan: str):
+    """No BroadcastExchange subtree may contain a Generate (gram explode):
+    broadcasting a gram table means driver-collecting it, and gram tables
+    are child-sized in the stats but grams-per-doc× bigger in reality."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = len(ln) - len(ln.lstrip(" :+-*"))
+        for sub in lines[i + 1:]:
+            sdepth = len(sub) - len(sub.lstrip(" :+-*"))
+            if sub.strip() and sdepth <= depth:
+                break
+            assert "Generate" not in sub and "explode" not in sub, (
+                f"gram explode under a broadcast:\n{ln}\n{sub}"
+            )
+
+
+def test_banded_verify_joins_never_broadcast_gram_tables(spark, monkeypatch):
+    """Regression for the 250k-entity snapshot-bench driver OOM: the exact
+    Jaccard verify joins in minhash_near_dups / dedup_against sit on
+    localCheckpoint'd gram tables whose originStats inherit the explode's
+    ~grams-per-doc× size undercount, so the static planner picked
+    BroadcastHashJoin on tables that are GiB-scale in the regimes where the
+    banded route actually fires. The merge hints must hold them at
+    SortMergeJoin."""
+    from pyspark.sql import functions as F
+
+    import polyfuzz_spark.operators.dedup as dedup
+
+    monkeypatch.setattr(dedup, "DENSE_MAX_VOCAB", 0)  # force banded route
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.col("text").alias("key"))
+    )
+    plan = plan_of(dedup.minhash_near_dups(docs, "key"))
+    assert plan.count("SortMergeJoin") >= 4, plan
+    _assert_no_broadcast_contains_explode(plan)
+
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    plan = plan_of(dedup.dedup_against(batch, corpus))
+    assert plan.count("SortMergeJoin") >= 4, plan
+    _assert_no_broadcast_contains_explode(plan)
