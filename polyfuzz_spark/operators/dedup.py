@@ -56,7 +56,10 @@ def _distinct_grams(docs: DataFrame, key_col: str, n: int,
     )
 
 
-def _jaccard_dense_grams(g: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_dense_grams(
+    g: DataFrame, threshold: float, score: str = "jaccard",
+    min_grams: int = 1,
+) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via a broadcast binary incidence
     matrix: |A∩B| for every pair is ONE matmul (n_docs × |vocab| by its
     transpose), streamed from-side against a broadcast to-side.
@@ -85,7 +88,9 @@ def _jaccard_dense_grams(g: DataFrame, threshold: float) -> DataFrame:
     pdf["ts"] = [
         [tid.setdefault(t, len(tid)) for t in row] for row in pdf["ts"]
     ]
-    return _jaccard_dense_pdf(g.sparkSession, pdf, threshold)
+    return _jaccard_dense_pdf(
+        g.sparkSession, pdf, threshold, score=score, min_grams=min_grams
+    )
 
 
 def _vocab_if_small(g: DataFrame) -> list[str] | None:
@@ -118,25 +123,39 @@ def _packed_tids(g: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
-def _jaccard_dense_packed(packed: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_dense_packed(
+    packed: DataFrame, threshold: float, score: str = "jaccard"
+) -> DataFrame:
     """Dense incidence-matmul core over pre-packed (doc_id, ts) rows."""
     return _jaccard_dense_pdf(
-        packed.sparkSession, packed.toPandas(), threshold
+        packed.sparkSession, packed.toPandas(), threshold, score=score
     )
 
 
-def _jaccard_dense_pdf(spark, pdf, threshold: float) -> DataFrame:
+def _jaccard_dense_pdf(
+    spark, pdf, threshold: float, score: str = "jaccard", min_grams: int = 1
+) -> DataFrame:
     """Matmul core over DRIVER-held packed rows (pandas: doc_id int64,
     ts list[int]) — bounded by the DENSE_MAX gates at every call site.
     The one pandas table feeds the broadcast matrix build AND, via an
     Arrow createDataFrame (evenly sliced — no shuffle, no AQE input-size
-    coalescing to dodge), the streamed mapInPandas side."""
+    coalescing to dodge), the streamed mapInPandas side.
+
+    ``score="jaccard"``: (from_id, to_id, jaccard_milli), half-up rounded.
+    ``score="containment"``: RAW oriented-later rows (from_id < to_id,
+    containment_milli by the join path's integer ``(1000·inter) div
+    min(|A|,|B|)``, smaller ∈ {-1: from-set smaller, +1: to-set smaller,
+    0: tie}) — callers orient via ``_orient_containment`` or per-member
+    during distinct-set expansion. ``min_grams`` drops docs with fewer
+    distinct grams before the matrix build (containment's noise guard)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     pdf = pdf.assign(doc_id=pdf["doc_id"].astype("int64"))
+    if min_grams > 1:
+        pdf = pdf[pdf["ts"].map(len) >= min_grams]
     order = np.argsort(pdf["doc_id"].to_numpy())
     ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
     ts_rows = pdf["ts"].to_numpy()[order]
@@ -152,6 +171,8 @@ def _jaccard_dense_pdf(spark, pdf, threshold: float) -> DataFrame:
         pdf[["doc_id", "ts"]], schema="doc_id long, ts array<int>"
     )
 
+    min_milli = int(round(threshold * 1000))
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         to_ids, to_u8, to_sz = bc.value
         # one float32 widening per worker (matmul would silently wrap in
@@ -160,33 +181,76 @@ def _jaccard_dense_pdf(spark, pdf, threshold: float) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            out_f, out_t, out_j = [], [], []
+            out_f, out_t, out_j, out_s = [], [], [], []
             q_ids = pdf["doc_id"].to_numpy()
             Q = np.zeros((len(pdf), to_mat.shape[1]), dtype=np.float32)
             for i, ts in enumerate(pdf["ts"]):
                 Q[i, np.asarray(ts, dtype=np.int64)] = 1.0
             inter = (Q @ to_mat.T).astype(np.int64)
             q_sz = Q.sum(axis=1).astype(np.int64)
-            union = q_sz[:, None] + to_sz[None, :] - inter
-            with np.errstate(invalid="ignore", divide="ignore"):
-                jac = np.where(union > 0, inter / union, 0.0)
+            if score == "jaccard":
+                union = q_sz[:, None] + to_sz[None, :] - inter
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    jac = np.where(union > 0, inter / union, 0.0)
+                for i in range(len(pdf)):
+                    keep = np.nonzero(
+                        (jac[i] >= threshold)
+                        & (inter[i] > 0)
+                        & (to_ids > q_ids[i])
+                    )[0]
+                    out_f.extend([q_ids[i]] * len(keep))
+                    out_t.extend(to_ids[keep])
+                    out_j.extend(
+                        np.floor(jac[i][keep] * 1000 + 0.5).astype(np.int64)
+                    )
+                yield pd.DataFrame(
+                    {"from_id": out_f, "to_id": out_t, "jaccard_milli": out_j}
+                )
+                continue
+            # containment: integer milli, matching the join path exactly
+            mn = np.minimum(q_sz[:, None], to_sz[None, :])
+            cm = np.where(mn > 0, (1000 * inter) // np.maximum(mn, 1), 0)
             for i in range(len(pdf)):
                 keep = np.nonzero(
-                    (jac[i] >= threshold)
+                    (cm[i] >= min_milli)
                     & (inter[i] > 0)
                     & (to_ids > q_ids[i])
                 )[0]
                 out_f.extend([q_ids[i]] * len(keep))
                 out_t.extend(to_ids[keep])
-                out_j.extend(
-                    np.floor(jac[i][keep] * 1000 + 0.5).astype(np.int64)
-                )
+                out_j.extend(cm[i][keep].astype(np.int64))
+                out_s.extend(np.sign(q_sz[i] - to_sz[keep]).astype(np.int32))
             yield pd.DataFrame(
-                {"from_id": out_f, "to_id": out_t, "jaccard_milli": out_j}
+                {
+                    "from_id": out_f,
+                    "to_id": out_t,
+                    "containment_milli": out_j,
+                    "smaller": pd.array(out_s, dtype="int32"),
+                }
             )
 
-    return streamed.mapInPandas(
-        gen, schema="from_id long, to_id long, jaccard_milli long"
+    if score == "jaccard":
+        schema = "from_id long, to_id long, jaccard_milli long"
+    else:
+        schema = (
+            "from_id long, to_id long, containment_milli long, smaller int"
+        )
+    return streamed.mapInPandas(gen, schema=schema)
+
+
+def _orient_containment(raw: DataFrame) -> DataFrame:
+    """RAW containment rows (from_id < to_id, smaller flag) → the public
+    (contained_id, container_id, containment_milli) orientation: the
+    smaller-set doc first, lower id on size ties (from_id IS the lower
+    id by the kernel's to>from enumeration)."""
+    return raw.select(
+        F.when(F.col("smaller") == 1, F.col("to_id"))
+        .otherwise(F.col("from_id"))
+        .alias("contained_id"),
+        F.when(F.col("smaller") == 1, F.col("from_id"))
+        .otherwise(F.col("to_id"))
+        .alias("container_id"),
+        F.col("containment_milli").cast("bigint").alias("containment_milli"),
     )
 
 
@@ -196,10 +260,14 @@ DENSE_MAX_SETS = 50_000
 
 
 def _tiny_vocab_route(
-    g: DataFrame, threshold: float
+    g: DataFrame, threshold: float, score: str = "jaccard",
+    min_grams: int = 1,
 ) -> tuple[DataFrame | None, DataFrame]:
-    """Adaptive routing gate shared by ``ngram_jaccard_pairs`` and
-    ``minhash_near_dups``: ONE aggregation job over the gram table decides
+    """Adaptive routing gate shared by ``ngram_jaccard_pairs``,
+    ``minhash_near_dups`` and ``ngram_containment_pairs`` (the latter via
+    ``score="containment"``, which swaps the dense kernels' formula and
+    output orientation but keeps the identical gate and budgets): ONE
+    aggregation job over the gram table decides
     the route (|vocab| and gram-bearing doc count together — the doc count
     is exactly what bounds the dense route's Arrow collect). Returns
     ``(result, g)``: ``result`` is the finished pair DataFrame for the
@@ -220,11 +288,21 @@ def _tiny_vocab_route(
         F.approx_count_distinct("doc_id", rsd=0.02),
     ).first()
     if nv <= DENSE_MAX_VOCAB and nd <= DENSE_MAX_DOCS:
+        if score == "containment":
+            return _orient_containment(
+                _jaccard_dense_grams(
+                    g, threshold, score="containment", min_grams=min_grams
+                )
+            ), g
         return _jaccard_dense_grams(g, threshold), g
     if nv <= DENSE_MAX_VOCAB:
         g = g.localCheckpoint(eager=True)
         terms = _vocab_if_small(g)
         if terms is not None:
+            if score == "containment":
+                return _containment_distinct_sets(
+                    g, threshold, terms, min_grams=min_grams
+                ), g
             return _jaccard_distinct_sets(g, threshold, terms), g
         return None, g  # sketch undershot the true vocab: join path
     return None, g.localCheckpoint(eager=True)
@@ -300,6 +378,84 @@ def _jaccard_distinct_sets(g: DataFrame, threshold: float,
     )
     if min_milli > 1000:  # degenerate threshold > 1: nothing qualifies
         return cross.where(F.lit(False))
+    return cross.unionByName(intra)
+
+
+def _containment_distinct_sets(
+    g: DataFrame, threshold: float, terms: list[str], min_grams: int = 1
+) -> DataFrame:
+    """Tiny-vocab, huge-corpus containment route — the
+    ``_jaccard_distinct_sets`` reduction with containment scoring: group
+    docs by identical distinct-gram set, score DISTINCT sets with the
+    dense kernel, expand pairs back through membership. Orientation is
+    per REP PAIR (every member of a set has the same gram set, so the
+    smaller-set side is constant across its member pairs) except on size
+    TIES, where each member pair orients by its own ids. Intra-set pairs
+    are containment exactly 1000 (identical sets), lower id contained."""
+    spark = g.sparkSession
+    packed = _packed_tids(g, terms)
+    if min_grams > 1:
+        packed = packed.where(F.size("ts") >= int(min_grams))
+    sets = (
+        packed.groupBy("ts")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("members"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_sets = sets.count()
+    if n_sets > DENSE_MAX_SETS:
+        raise ValueError(
+            f"{n_sets} distinct gram sets over a tiny vocabulary exceed "
+            f"DENSE_MAX_SETS={DENSE_MAX_SETS}; no finite-shaped exact plan "
+            "exists here — use ngram_containment_pairs(max_df=...) to cut "
+            "hot grams, or raise dedup.DENSE_MAX_SETS if the set matrix "
+            "fits memory"
+        )
+    raw = _jaccard_dense_packed(
+        sets.select(F.col("rep").alias("doc_id"), "ts"),
+        threshold,
+        score="containment",
+    )
+    n_part = spark.sparkContext.defaultParallelism * 4
+    m_from = sets.select(
+        F.col("rep").alias("from_id"), F.explode("members").alias("x")
+    )
+    m_to = sets.select(
+        F.col("rep").alias("to_id"), F.explode("members").alias("y")
+    )
+    cross = (
+        raw.repartition(n_part, "from_id")
+        .join(m_from, "from_id")
+        .join(m_to, "to_id")
+        .select(
+            F.when(F.col("smaller") == 1, F.col("y"))
+            .when(F.col("smaller") == -1, F.col("x"))
+            .otherwise(F.least("x", "y"))
+            .alias("contained_id"),
+            F.when(F.col("smaller") == 1, F.col("x"))
+            .when(F.col("smaller") == -1, F.col("y"))
+            .otherwise(F.greatest("x", "y"))
+            .alias("container_id"),
+            F.col("containment_milli").cast("bigint")
+            .alias("containment_milli"),
+        )
+    )
+    min_milli = int(round(threshold * 1000))
+    if min_milli > 1000:  # degenerate threshold > 1: nothing qualifies
+        return cross.where(F.lit(False))
+    a = sets.select(F.col("rep").alias("r"), F.explode("members").alias("x"))
+    b = sets.select(F.col("rep").alias("r2"), F.explode("members").alias("y"))
+    intra = (
+        a.repartition(n_part, "r")
+        .join(b, (F.col("r") == F.col("r2")) & (F.col("x") < F.col("y")))
+        .select(
+            F.col("x").alias("contained_id"),
+            F.col("y").alias("container_id"),
+            F.lit(1000).cast("bigint").alias("containment_milli"),
+        )
+    )
     return cross.unionByName(intra)
 
 
@@ -381,16 +537,30 @@ def ngram_containment_pairs(
     ties). ``min_grams`` drops docs whose distinct-gram set is smaller
     than it (tiny sets make containment trivially noisy).
 
-    Scale shape: one gram equi-join + map-side-combined pair counts —
-    the cosine term join's sparsity argument. Banded MinHash is NOT used
-    here because LSH bands estimate Jaccard, which subset pairs fail by
-    construction; the join is bounded instead by ``max_df`` (drop grams
-    in more than max_df docs — sizes are recomputed after the cut, same
-    contract as ``groupsim.group_jaccard_pairs``)."""
+    Scale shape — ADAPTIVE, same routing gate as ``ngram_jaccard_pairs``
+    (``_tiny_vocab_route``): tiny vocab + bounded corpus → dense
+    incidence matmul (a raw gram join degenerates exactly here — hot
+    grams with df ≈ n_docs make the equi-join Σdf² ≈ n² rows; 377
+    trigrams over 5k docs is already a 2.2B-row intersect); tiny vocab +
+    huge corpus → distinct-gram-set reduction (exact, matmul over
+    distinct sets only); large vocab → the gram equi-join +
+    map-side-combined pair counts (the cosine term join's sparsity
+    argument). Banded MinHash is NOT used on any route because LSH bands
+    estimate Jaccard, which subset pairs fail by construction; the join
+    route is bounded instead by ``max_df`` (drop grams in more than
+    max_df docs — applied BEFORE routing, so every route scores the same
+    cut gram space and sizes are recomputed after the cut, same contract
+    as ``groupsim.group_jaccard_pairs``). All routes emit identical rows
+    where exact."""
     g = _distinct_grams(docs, key_col, n, id_col=id_col)
     if max_df is not None:
         dfc = g.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
         g = g.join(dfc.where(F.col("_df") <= max_df), "term").drop("_df")
+    routed, g = _tiny_vocab_route(
+        g, threshold, score="containment", min_grams=min_grams
+    )
+    if routed is not None:
+        return routed
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     if min_grams > 1:
         sizes = sizes.where(F.col("n_grams") >= int(min_grams))

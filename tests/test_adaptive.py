@@ -342,3 +342,31 @@ def test_transform_does_not_mutate_model(spark):
     idf_before = model.idf
     adaptive.tfidf_transform_topk(model, docs, docs).count()
     assert model.idf is idf_before
+
+
+def test_containment_join_path_matches_oracle(spark, con, monkeypatch):
+    """DENSE_MAX_VOCAB=0 forces containment's gram-join path — exact, so
+    the oracle must stay green (the routing gate fires AND the large-vocab
+    fallback is correct)."""
+    from polyfuzz_spark.queries import ORACLE_CONTAINMENT
+
+    monkeypatch.setattr(dedup, "DENSE_MAX_VOCAB", 0)
+    got = QUERIES["containment_dups"](spark, SF)
+    exp = con.execute(ORACLE_CONTAINMENT).df()
+    ok, msg = compare(got, exp)
+    assert ok, msg
+
+
+def test_containment_distinct_set_route_matches_oracle(
+    spark, con, monkeypatch
+):
+    """DENSE_MAX_DOCS=0 with a tiny vocab forces the containment
+    distinct-gram-set reduction (rep-pair scoring + per-member
+    orientation on size ties) — exact, oracle must stay green."""
+    from polyfuzz_spark.queries import ORACLE_CONTAINMENT
+
+    monkeypatch.setattr(dedup, "DENSE_MAX_DOCS", 0)
+    got = QUERIES["containment_dups"](spark, SF)
+    exp = con.execute(ORACLE_CONTAINMENT).df()
+    ok, msg = compare(got, exp)
+    assert ok, msg
