@@ -88,6 +88,10 @@ class CheckpointedPlan:
         self.spark = spark
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
+        # wall-clock of the previous _checkpoint's completion, for
+        # attributing eager pre-checkpoint work (localCheckpoint jobs,
+        # knob-resolution counts) to the stage that runs it
+        self._prev_stage_done: float | None = None
 
     # ------------------------------------------------------------ plumbing
     def _path(self, stage: str) -> Path:
@@ -131,6 +135,7 @@ class CheckpointedPlan:
         extra passes — at scale a post-write ``agg`` is a full re-read of
         the column it touches, once per stage. Null aggregates (empty
         stage) land as 0."""
+        t0 = time.monotonic()
         obs = None
         if metrics:
             from pyspark.sql import Observation
@@ -189,7 +194,17 @@ class CheckpointedPlan:
             })
         if extra:
             manifest.update(extra)
+        # stage walls make every run self-profiling from its manifests
+        # alone: wall_s is compute + write + lineage + metric collection
+        # (the compute is lazy, so it lands inside the write job);
+        # pre_wall_s is the stage's EAGER pre-checkpoint work (candidate
+        # localCheckpoints, knob-resolution counts) since the previous
+        # stage finished
+        manifest["wall_s"] = round(time.monotonic() - t0, 3)
+        if self._prev_stage_done is not None:
+            manifest["pre_wall_s"] = round(t0 - self._prev_stage_done, 3)
         self._manifest(stage).write_text(json.dumps(manifest, indent=2))
+        self._prev_stage_done = time.monotonic()
         return back
 
     def _amend_manifest(self, stage: str, extra: dict) -> None:
