@@ -82,6 +82,13 @@ def test_curation_pipeline_e2e(spark, tmp_path):
     pipe = CurationPipeline(spark, str(tmp_path / "cur"), CFG)
     summary = pipe.run(corpus)
     assert all(m["complete"] for m in summary.values())
+    # manifests are self-profiling: every stage carries its wall, and every
+    # stage after the first attributes its eager pre-checkpoint work
+    assert all(m["wall_s"] > 0 for m in summary.values())
+    assert all(
+        m["pre_wall_s"] >= 0
+        for s, m in summary.items() if s != "ingest"
+    )
 
     final = pipe.read("final")
 
