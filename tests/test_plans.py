@@ -193,3 +193,40 @@ def test_banded_verify_joins_never_broadcast_gram_tables(spark, monkeypatch):
     plan = plan_of(dedup.dedup_against(batch, corpus))
     assert plan.count("SortMergeJoin") >= 4, plan
     _assert_no_broadcast_contains_explode(plan)
+
+
+def test_dense_containment_is_shuffle_free_and_joinless(spark):
+    """The containment dense route must be the same shape as the Jaccard
+    one: Arrow-parallelized driver table -> mapInPandas matmul, with no
+    Exchange and — the regression that motivated the routing — no gram
+    equi-join anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.operators.dedup import ngram_containment_pairs
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.col("text").alias("key"))
+    )
+    plan = plan_of(ngram_containment_pairs(docs, n=3, threshold=0.9))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_containment_sets_route_has_no_nested_loop(spark, monkeypatch):
+    """Forced distinct-set reduction (DENSE_MAX_DOCS=0): the member
+    expansion must stay equi-join-shaped — a BroadcastNestedLoopJoin in
+    the expansion would be the all-pairs shape the route exists to
+    avoid."""
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "DENSE_MAX_DOCS", 0)
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.col("text").alias("key"))
+    )
+    plan = plan_of(dedup.ngram_containment_pairs(docs, n=3, threshold=0.9))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
