@@ -1182,6 +1182,112 @@ def _oracle_quality_percentiles() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Hashed-LM perplexity filter (CCNet head/middle/tail, functions/lm.py)
+# --------------------------------------------------------------------------
+LM_BUCKETS = 1 << 16
+LM_SALT = "lm"
+LM_REF_SALT = "lmref"
+LM_REF_RATE = 0.5
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LM scoring: fit the hashed unigram LM on the deterministic
+    md5-keyed reference half of the corpus (CCNet fits on Wikipedia; the
+    engine form fits on any trusted subset), score EVERY document."""
+    from .functions.lm import bits_per_token, train_hashed_lm
+    from .functions.sampling import deterministic_sample
+
+    docs = _docs_wide(spark, sf_dir)
+    ref = deterministic_sample(docs, "doc_id", LM_REF_RATE, salt=LM_REF_SALT)
+    lm = train_hashed_lm(ref, "text", LM_BUCKETS, LM_SALT)
+    return bits_per_token(docs, lm, "doc_id", "text", LM_BUCKETS, LM_SALT)
+
+
+def q_lm_bits_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score per document: mean per-token surprisal
+    in milli-bits against a hashed unigram count LM fit on the trusted
+    half of the corpus (functions/lm.py — pure integer arithmetic, no
+    double log anywhere, so the oracle is bit-exact). Fitted state is a
+    fixed ≤2^16-row broadcastable table regardless of corpus size; scoring
+    is one broadcast left join + one doc-keyed agg."""
+    return _lm_scored(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("bits_milli").cast("bigint").alias("bits_milli"),
+    )
+
+
+def _lm_cte() -> str:
+    from .functions.lm import lm_score_cte_sql
+    from .functions.sampling import sample_oracle_predicate
+
+    pred = sample_oracle_predicate("doc_id", repr(LM_REF_RATE), salt=LM_REF_SALT)
+    return lm_score_cte_sql(
+        pred, table="documents", id_col="doc_id", text_expr="text",
+        n_buckets=LM_BUCKETS, salt=LM_SALT,
+    )
+
+
+def _oracle_lm_bits_per_token() -> str:
+    return (
+        f"WITH {_lm_cte()} "
+        "SELECT doc_id, n_tokens, bits_milli FROM scored"
+    )
+
+
+def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CCNet bucketing stage: per-language surprisal terciles
+    (exact bounded-histogram quantiles, operators/quantiles.py) tag every
+    document head / middle / tail. The corpus collapses to a (lang,
+    bits_milli) histogram for the thresholds; assignment is a ≤ langs-row
+    broadcast join back — no per-group sort of raw rows at any scale."""
+    from .functions.lm import quality_buckets
+
+    scored = _lm_scored(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return quality_buckets(scored.join(docs, "doc_id"), "lang").select(
+        "doc_id", "lang",
+        F.col("bits_milli").cast("bigint").alias("bits_milli"),
+        "bucket",
+    )
+
+
+def _oracle_lm_quality_buckets() -> str:
+    return f"""
+WITH {_lm_cte()},
+langd AS (
+  SELECT s.doc_id, d.lang, s.bits_milli
+  FROM scored s JOIN documents d USING (doc_id)
+),
+hist AS (SELECT lang, bits_milli AS v, count(*) AS c FROM langd GROUP BY 1, 2),
+cum AS (
+  SELECT lang, v, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+qs AS (
+  SELECT lang, p_milli, v AS value
+  FROM cum CROSS JOIN (VALUES (333), (667)) ps(p_milli)
+  WHERE cum >= CAST(floor(p_milli / 1000.0 * (n - 1)) AS BIGINT) + 1
+    AND cum - c < CAST(floor(p_milli / 1000.0 * (n - 1)) AS BIGINT) + 1
+),
+th AS (
+  SELECT lang,
+         max(CASE WHEN p_milli = 333 THEN value END) AS t1,
+         max(CASE WHEN p_milli = 667 THEN value END) AS t2
+  FROM qs GROUP BY 1
+)
+SELECT doc_id, lang, bits_milli,
+       CASE WHEN bits_milli <= t1 THEN 'head'
+            WHEN bits_milli <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM langd JOIN th USING (lang)
+"""
+
+
 SAMPLE_RATES = {"en": 0.25, "zh": 0.5}
 SAMPLE_DEFAULT = 0.75
 SAMPLE_SALT = "r3"
@@ -2265,6 +2371,8 @@ def all_queries():
         "sequence_packing": q_sequence_packing,
         "code_chunks": q_code_chunks,
         "quality_percentiles": q_quality_percentiles,
+        "lm_bits_per_token": q_lm_bits_per_token,
+        "lm_quality_buckets": q_lm_quality_buckets,
         "corpus_curation": q_corpus_curation,
         "code_quality": q_code_quality,
         "pii_scrub": q_pii_scrub,
@@ -2319,6 +2427,8 @@ def all_oracles():
         "sequence_packing": _oracle_sequence_packing(),
         "code_chunks": _oracle_code_chunks(),
         "quality_percentiles": _oracle_quality_percentiles(),
+        "lm_bits_per_token": _oracle_lm_bits_per_token(),
+        "lm_quality_buckets": _oracle_lm_quality_buckets(),
         "corpus_curation": _oracle_corpus_curation(),
         "code_quality": _oracle_code_quality(),
         "pii_scrub": _oracle_pii_scrub(),

@@ -1,0 +1,110 @@
+"""Hashed-LM perplexity filter (functions/lm.py): exact integer floor_log2
+parity, surprisal ordering on planted docs, OOV handling, model identity
+(salt/buckets), bucketing semantics, and the broadcast-join plan shape.
+Cross-engine twins are covered by the oracle suite (lm_bits_per_token,
+lm_quality_buckets)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from polyfuzz_spark.functions.lm import (
+    bits_per_token,
+    floor_log2,
+    floor_log2_sql,
+    quality_buckets,
+    token_buckets,
+    train_hashed_lm,
+)
+
+
+def _score(spark, train_rows, score_rows, n_buckets=1 << 16, salt="lm"):
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    score = spark.createDataFrame(score_rows, ["doc_id", "text"])
+    lm = train_hashed_lm(train, "text", n_buckets, salt)
+    out = bits_per_token(score, lm, "doc_id", "text", n_buckets, salt)
+    return {r["doc_id"]: (r["n_tokens"], r["bits_milli"]) for r in out.collect()}
+
+
+def test_floor_log2_exact_vs_python(spark):
+    vals = [1, 2, 3, 4, 7, 8, 255, 256, 1 << 31, (1 << 52) + 12345, (1 << 62) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {r["x"]: r["fl"] for r in df.select("x", floor_log2(F.col("x")).alias("fl")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        expect = v.bit_length() - 1
+        assert got[v] == expect, v
+        (duck,) = con.execute(f"SELECT {floor_log2_sql(str(v))}").fetchone()
+        assert duck == expect, v
+
+
+def test_common_tokens_score_below_rare(spark):
+    # reference corpus dominated by "the cat sat"; a doc of those tokens
+    # must score (strictly) below a doc of never-seen gibberish
+    train = [(i, "the cat sat on the mat") for i in range(20)]
+    got = _score(spark, train, [(100, "the cat sat"), (101, "zqx vbn wky")])
+    n_head, bits_head = got[100]
+    n_tail, bits_tail = got[101]
+    assert n_head == 3 and n_tail == 3
+    assert bits_head < bits_tail
+
+
+def test_oov_tokens_get_max_surprisal(spark):
+    train = [(0, "alpha beta gamma")]
+    nb = 1 << 16
+    got = _score(spark, train, [(1, "neverseen")], n_buckets=nb)
+    # total=3 → B_tot = floor_log2(3 + 65536) = 16; cnt 0 → fl2(1) = 0
+    assert got[1] == (1, 16000)
+
+
+def test_zero_token_docs_absent(spark):
+    got = _score(spark, [(0, "a b c")], [(1, "   "), (2, "a")])
+    assert 1 not in got
+    assert 2 in got
+
+
+def test_salt_and_buckets_are_model_identity(spark):
+    train = [(i, "the cat sat on the mat rug floor") for i in range(5)]
+    score = [(100, "the cat"), (101, "mat rug")]
+    a = _score(spark, train, score, salt="lm")
+    b = _score(spark, train, score, salt="other")
+    c = _score(spark, train, score, n_buckets=1 << 10)
+    # same inputs, same knobs → identical; different salt/buckets may move
+    # bucket collisions, but every variant still scores both docs
+    assert a == _score(spark, train, score, salt="lm")
+    assert set(b) == set(a) and set(c) == set(a)
+
+
+def test_token_buckets_range_and_determinism(spark):
+    df = spark.createDataFrame([("x y z zz yy xx",)], ["t"])
+    nb = 64
+    (row,) = df.select(token_buckets("t", nb).alias("b")).collect()
+    assert len(row["b"]) == 6
+    assert all(0 <= b < nb for b in row["b"])
+    (row2,) = df.select(token_buckets("t", nb).alias("b")).collect()
+    assert row["b"] == row2["b"]
+
+
+def test_quality_buckets_tercile_assignment(spark):
+    # 9 docs in one group with strictly increasing scores → 3/3/3 split
+    scored = spark.createDataFrame(
+        [(i, "g", (i + 1) * 100) for i in range(9)],
+        ["doc_id", "lang", "bits_milli"],
+    )
+    out = quality_buckets(scored, "lang")
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    # n=9: t1 = k-th smallest with k = floor(.333*8)+1 = 3 → 300;
+    # t2: k = floor(.667*8)+1 = 6 → 600
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+
+def test_scoring_plan_broadcasts_model(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(50)], ["doc_id", "text"]
+    )
+    lm = train_hashed_lm(docs, "text", 1 << 12)
+    plan = bits_per_token(docs, lm, n_buckets=1 << 12)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
