@@ -1288,6 +1288,46 @@ FROM langd JOIN th USING (lang)
 """
 
 
+# --------------------------------------------------------------------------
+# DSIR importance weights (operators/dsir.py)
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 1 << 16
+DSIR_SALT = "dsir"
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): every document of the
+    raw corpus scored by the log-likelihood ratio of hashed unigram+bigram
+    bag-of-ngrams models fit on the target domain (here: the `en` slice)
+    vs the raw corpus — the data-selection verb of a training-data
+    pipeline ("keep the crawl documents that look like the trusted set").
+    Whole-bit integer LLR via exact floor_log2 (operators/dsir.py), both
+    fitted models fixed ≤2^16-row broadcast tables at any corpus size."""
+    from .operators.dsir import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
+    return dsir_weights(
+        docs, target, "doc_id", "text", DSIR_BUCKETS, DSIR_SALT
+    ).select(
+        "doc_id",
+        F.col("n_feats").cast("bigint").alias("n_feats"),
+        F.col("llr_bits").cast("bigint").alias("llr_bits"),
+    )
+
+
+def _oracle_dsir_weights() -> str:
+    from .operators.dsir import dsir_oracle_cte_sql
+
+    cte = dsir_oracle_cte_sql(
+        f"lang = '{DSIR_TARGET_LANG}'",
+        table="documents", id_col="doc_id", text_expr="text",
+        n_buckets=DSIR_BUCKETS, salt=DSIR_SALT,
+    )
+    return f"WITH {cte} SELECT doc_id, n_feats, llr_bits FROM weighted"
+
+
 SAMPLE_RATES = {"en": 0.25, "zh": 0.5}
 SAMPLE_DEFAULT = 0.75
 SAMPLE_SALT = "r3"
@@ -2373,6 +2413,7 @@ def all_queries():
         "quality_percentiles": q_quality_percentiles,
         "lm_bits_per_token": q_lm_bits_per_token,
         "lm_quality_buckets": q_lm_quality_buckets,
+        "dsir_weights": q_dsir_weights,
         "corpus_curation": q_corpus_curation,
         "code_quality": q_code_quality,
         "pii_scrub": q_pii_scrub,
@@ -2429,6 +2470,7 @@ def all_oracles():
         "quality_percentiles": _oracle_quality_percentiles(),
         "lm_bits_per_token": _oracle_lm_bits_per_token(),
         "lm_quality_buckets": _oracle_lm_quality_buckets(),
+        "dsir_weights": _oracle_dsir_weights(),
         "corpus_curation": _oracle_corpus_curation(),
         "code_quality": _oracle_code_quality(),
         "pii_scrub": _oracle_pii_scrub(),
