@@ -101,6 +101,21 @@ class CurationConfig:
     bands: int | None = 16
     max_bucket_size: int | None = None
     min_shared_bands: int | None = None
+    # optional CCNet-style hashed-LM perplexity stage (functions/lm.py),
+    # inserted between dedup and split when lm_filter=True: fit the
+    # fixed-size hashed unigram LM on a reference corpus (caller-supplied
+    # via run(lm_reference=...), else a deterministic md5-keyed
+    # lm_ref_rate subset of the deduped corpus), score every doc in
+    # milli-bits, tag per-lm_group_col terciles, DROP the high-surprisal
+    # tail (CCNet keeps head+middle). Zero-token docs drop too (their
+    # perplexity is undefined and they are unusable for training; the
+    # min_tokens Gopher rule upstream removes them before this anyway).
+    lm_filter: bool = False
+    lm_buckets: int = 1 << 16
+    lm_salt: str = "lm"
+    lm_ref_rate: float = 0.25
+    lm_ref_salt: str = "lmref"
+    lm_group_col: str = "lang"
     # split + decontamination
     train_frac: float = 0.8
     split_salt: str = "split"
@@ -119,10 +134,21 @@ class CurationPipeline(CheckpointedPlan):
                  config: CurationConfig | None = None):
         super().__init__(spark, run_dir)
         self.cfg = config or CurationConfig()
+        if self.cfg.lm_filter:
+            # instance-level stage list: the optional perplexity stage
+            # slots between dedup and split
+            stages = list(self.STAGES)
+            stages.insert(stages.index("split"), "lmfilter")
+            self.STAGES = stages
 
     # -------------------------------------------------------------- stages
-    def run(self, corpus: DataFrame | None = None) -> dict:
-        """Run all incomplete stages; returns the manifest summary."""
+    def run(self, corpus: DataFrame | None = None,
+            lm_reference: DataFrame | None = None) -> dict:
+        """Run all incomplete stages; returns the manifest summary.
+        ``lm_reference`` (used only with ``cfg.lm_filter``): the trusted
+        corpus the perplexity LM is fit on — CCNet fits on Wikipedia;
+        default is a deterministic md5-keyed subset of the deduped
+        corpus itself."""
         cfg = self.cfg
         text = cfg.text_col
 
@@ -239,14 +265,65 @@ class CurationPipeline(CheckpointedPlan):
                     json_rows(self, "curated") - json_rows(self, "dedup"),
             })
 
+        if cfg.lm_filter and not self.is_complete("lmfilter"):
+            from ..functions.lm import (
+                bits_per_token, quality_buckets, train_hashed_lm,
+            )
+            from ..functions.sampling import deterministic_sample
+
+            docs = self.read("dedup")
+            ref = lm_reference if lm_reference is not None else (
+                deterministic_sample(
+                    docs, "doc_id", cfg.lm_ref_rate, salt=cfg.lm_ref_salt
+                )
+            )
+            lm = train_hashed_lm(ref, text, cfg.lm_buckets, cfg.lm_salt)
+            scored = bits_per_token(
+                docs, lm, "doc_id", text, cfg.lm_buckets, cfg.lm_salt
+            )
+            grp = (
+                docs.select("doc_id", cfg.lm_group_col)
+                if cfg.lm_group_col in docs.columns
+                else docs.select(
+                    "doc_id", F.lit("all").alias(cfg.lm_group_col)
+                )
+            )
+            tagged = quality_buckets(
+                scored.join(grp, "doc_id"), cfg.lm_group_col
+            ).withColumnRenamed("bucket", "lm_bucket")
+            kept = docs.join(
+                tagged.where(F.col("lm_bucket") != "tail")
+                .select("doc_id", "bits_milli", "lm_bucket"),
+                "doc_id",
+            )
+            self._checkpoint(
+                "lmfilter", kept,
+                metrics={
+                    "n_head": F.sum(
+                        (F.col("lm_bucket") == "head").cast("bigint")
+                    ),
+                    "bits_milli_max": F.max("bits_milli"),
+                },
+            )
+            self._amend_manifest("lmfilter", {
+                "rows_dropped":
+                    json_rows(self, "dedup") - json_rows(self, "lmfilter"),
+            })
+
         if not self.is_complete("split"):
             from ..operators.adaptive import _UNSET, resolve_blocking_knobs
 
-            docs = self.read("dedup")
-            # knobs sized to the DEDUPED corpus (row count is free from
-            # the dedup manifest); explicit config values pass through
+            split_src = "lmfilter" if cfg.lm_filter else "dedup"
+            docs = self.read(split_src)
+            if cfg.lm_filter:
+                # score/bucket columns are lmfilter lineage, not corpus
+                # payload — the split output keeps the corpus schema
+                docs = docs.drop("bits_milli", "lm_bucket")
+            # knobs sized to the SPLIT INPUT corpus (row count is free
+            # from the previous stage's manifest); explicit config values
+            # pass through
             knobs = resolve_blocking_knobs(
-                json_rows(self, "dedup"),
+                json_rows(self, split_src),
                 num_hashes=cfg.num_hashes,
                 bands=cfg.bands,
                 max_bucket_size=(

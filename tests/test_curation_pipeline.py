@@ -153,6 +153,45 @@ def test_curation_pipeline_e2e(spark, tmp_path):
     assert mismatched == 0
 
 
+def test_lm_filter_stage(spark, tmp_path):
+    """Optional CCNet perplexity stage: slots between dedup and split,
+    drops the per-lang tail tercile, keeps the corpus schema for the
+    downstream stages, and resumes like every other stage."""
+    corpus = _corpus(spark)
+    cfg = CurationConfig(
+        boiler_min_docs=8, min_alpha_milli=400, lm_filter=True
+    )
+    pipe = CurationPipeline(spark, str(tmp_path / "lm"), cfg)
+    assert "lmfilter" in pipe.STAGES
+    assert pipe.STAGES.index("lmfilter") == pipe.STAGES.index("split") - 1
+
+    summary = pipe.run(corpus)
+    assert all(m["complete"] for m in summary.values())
+    lmm = summary["lmfilter"]
+    # terciles: the tail third of each multi-doc lang group drops
+    assert 0 < lmm["rows_dropped"] < summary["dedup"]["rows"]
+    assert lmm["rows"] == summary["dedup"]["rows"] - lmm["rows_dropped"]
+    assert lmm["n_head"] >= 1 and lmm["bits_milli_max"] >= 0
+
+    # the stage output carries its lineage columns; the split output is
+    # back to the corpus schema
+    assert {"bits_milli", "lm_bucket"} <= set(pipe.read("lmfilter").columns)
+    assert "bits_milli" not in pipe.read("split").columns
+    # split consumed the FILTERED corpus
+    assert summary["split"]["rows"] == lmm["rows"]
+    # no tail survivor anywhere downstream
+    kept_buckets = {
+        r["lm_bucket"]
+        for r in pipe.read("lmfilter").select("lm_bucket").distinct().collect()
+    }
+    assert kept_buckets <= {"head", "middle"}
+
+    # resume: a second run() must skip every completed stage (manifest
+    # mtimes unchanged ⇒ same rows)
+    again = pipe.run(corpus)
+    assert again["lmfilter"]["rows"] == lmm["rows"]
+
+
 def test_curation_crash_resumes_hash_equal(spark, tmp_path, monkeypatch):
     """Kill the run at the START of the final stage (after 7 checkpoints),
     re-launch with the same run_dir: all earlier stages manifest-skipped
