@@ -1289,6 +1289,48 @@ FROM langd JOIN th USING (lang)
 
 
 # --------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+# --------------------------------------------------------------------------
+BPE_MIN_COUNT = 2
+BPE_N_MERGES = 30
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round's adjacent-symbol pair statistics over the
+    corpus word-frequency table (operators/bpe.py): the distributed
+    counting step of tokenizer training, with an exact SQL twin. The
+    corpus collapses to distinct words in one map-side-combined agg; the
+    pair explode runs over the BOUNDED word table, never the corpus."""
+    from .operators.bpe import pair_counts_df, word_counts
+
+    wc = word_counts(_docs_wide(spark, sf_dir), "text", BPE_MIN_COUNT)
+    return pair_counts_df(wc).select(
+        "lhs", "rhs", F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def _oracle_bpe_pair_counts() -> str:
+    from .operators.bpe import pair_counts_oracle_sql
+
+    cte = pair_counts_oracle_sql("documents", "text", BPE_MIN_COUNT)
+    return f"WITH {cte} SELECT lhs, rhs, cnt FROM pc"
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (rank, left, right, merged, pair_count):
+    exact Sennrich training over the corpus word counts with a
+    deterministic (count desc, pair asc) argmax tie-break. The iterative
+    loop has no SQL twin (each round depends on the previous argmax —
+    the WRatio no-twin class); its counting machinery is exact-oracled
+    via bpe_pair_counts and the loop itself is golden/property-tested
+    against an independent pure-Python reference (tests/test_bpe.py)."""
+    from .operators.bpe import learn_bpe, word_counts
+
+    wc = word_counts(_docs_wide(spark, sf_dir), "text", BPE_MIN_COUNT)
+    return learn_bpe(wc, BPE_N_MERGES)
+
+
+# --------------------------------------------------------------------------
 # DSIR importance weights (operators/dsir.py)
 # --------------------------------------------------------------------------
 DSIR_BUCKETS = 1 << 16
@@ -2414,6 +2456,8 @@ def all_queries():
         "lm_bits_per_token": q_lm_bits_per_token,
         "lm_quality_buckets": q_lm_quality_buckets,
         "dsir_weights": q_dsir_weights,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
         "corpus_curation": q_corpus_curation,
         "code_quality": q_code_quality,
         "pii_scrub": q_pii_scrub,
@@ -2471,6 +2515,9 @@ def all_oracles():
         "lm_bits_per_token": _oracle_lm_bits_per_token(),
         "lm_quality_buckets": _oracle_lm_quality_buckets(),
         "dsir_weights": _oracle_dsir_weights(),
+        # bpe_merges: iterative argmax loop, no SQL twin → rows-only; the
+        # counting machinery is exact via bpe_pair_counts
+        "bpe_pair_counts": _oracle_bpe_pair_counts(),
         "corpus_curation": _oracle_corpus_curation(),
         "code_quality": _oracle_code_quality(),
         "pii_scrub": _oracle_pii_scrub(),
