@@ -80,6 +80,12 @@ NO_NESTED_LOOP = [
     "media_features", "media_frames", "top_terms", "events_hourly",
     "user_sessions", "dedup_corpus", "dedup_corpus_embedding",
     "sample_stratified", "mixture_resample", "train_test_split",
+    # lm_* / dsir_weights are absent by intent: their 1-row totals tables
+    # ride in via broadcast crossJoin (a deliberate BroadcastNestedLoopJoin
+    # over ONE row); their model-join shapes are pinned in
+    # tests/test_lm.py::test_scoring_plan_broadcasts_model and
+    # tests/test_dsir.py::test_plan_shapes instead
+    "bpe_pair_counts",
 ]
 
 
