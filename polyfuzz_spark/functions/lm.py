@@ -140,7 +140,11 @@ def bits_per_token(
         F.explode(token_buckets(text_col, n_buckets, salt)).alias("bucket"),
     )
     model = F.broadcast(lm.select("bucket", "cnt"))
-    total = F.broadcast(lm.agg(F.max("total").alias("total")))
+    # coalesce: an EMPTY lm (fit on an empty reference) has no rows to
+    # take max over; every token then scores the max surprisal fl2(nb)
+    total = F.broadcast(
+        lm.agg(F.coalesce(F.max("total"), F.lit(0)).alias("total"))
+    )
     sur = floor_log2(F.col("total") + F.lit(n_buckets)) - floor_log2(
         F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)
     )

@@ -186,8 +186,9 @@ def bpe_encode(
     ranks = {
         (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
     }
+    id_type = dict(df.dtypes)[id_col]  # don't assume long ids
     schema = (
-        f"{id_col} long, n_tokens bigint, n_bpe_tokens bigint, "
+        f"{id_col} {id_type}, n_tokens bigint, n_bpe_tokens bigint, "
         f"bpe_tokens array<string>"
     )
     toked = ensure_min_partitions(df).select(

@@ -128,6 +128,13 @@ def test_encode_merge_priority_is_rank_order(spark):
     assert row["bpe_tokens"] == ["abc", EOW]
 
 
+def test_encode_string_ids(spark):
+    merges = learn_bpe(_wc_df(spark, {"ab": 2}), 1)
+    docs = spark.createDataFrame([("d1", "ab")], ["doc_id", "text"])
+    (row,) = bpe_encode(docs, merges).collect()
+    assert row["doc_id"] == "d1" and row["n_bpe_tokens"] >= 1
+
+
 def test_driver_tier_refuses_then_truncates(spark):
     wf = {f"w{i}": 1 for i in range(50)}
     with pytest.raises(ValueError, match="max_words"):

@@ -75,6 +75,18 @@ def test_salt_and_buckets_are_model_identity(spark):
     assert set(b) == set(a) and set(c) == set(a)
 
 
+def test_empty_reference_lm_rows(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    lm = train_hashed_lm(empty, "text", 1 << 16)
+    score = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_milli"])
+        for r in bits_per_token(score, lm, n_buckets=1 << 16).collect()
+    }
+    # total 0 → every token scores fl2(0 + 2^16) = 16 bits
+    assert got == {1: (2, 16000)}
+
+
 def test_token_buckets_range_and_determinism(spark):
     df = spark.createDataFrame([("x y z zz yy xx",)], ["t"])
     nb = 64
