@@ -196,6 +196,46 @@ scored AS (
 )"""
 
 
+def save_hashed_lm(
+    lm: DataFrame,
+    path: str,
+    n_buckets: int,
+    salt: str,
+) -> dict:
+    """Persist a fitted hashed LM: ``{path}/counts.parquet`` (the ≤
+    n_buckets count table) + ``{path}/manifest.json`` with the FROZEN
+    model-identity knobs — scoring with a different salt or bucket count
+    silently hashes tokens into a foreign space, so the knobs travel with
+    the model (the same contract as ``operators/snapshot.py``'s index
+    manifest). Returns the manifest dict."""
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    lm.write.mode("overwrite").parquet(str(p / "counts.parquet"))
+    mf = {"kind": "hashed_unigram_lm", "n_buckets": int(n_buckets),
+          "salt": salt, "version": 1}
+    with open(p / "manifest.json", "w") as fh:
+        json.dump(mf, fh, indent=1)
+    return mf
+
+
+def load_hashed_lm(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a persisted hashed LM: ``(count table, manifest)``. Pass the
+    manifest's ``n_buckets``/``salt`` to :func:`bits_per_token` — the
+    manifest IS the model identity."""
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    with open(p / "manifest.json") as fh:
+        mf = json.load(fh)
+    if mf.get("kind") != "hashed_unigram_lm":
+        raise ValueError(f"{path} is not a hashed LM artifact: {mf}")
+    return spark.read.parquet(str(p / "counts.parquet")), mf
+
+
 def quality_buckets(
     scored: DataFrame,
     group_col: str = "lang",

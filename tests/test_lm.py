@@ -112,6 +112,44 @@ def test_quality_buckets_tercile_assignment(spark):
     )
 
 
+def test_save_load_roundtrip_preserves_scores(spark, tmp_path):
+    from polyfuzz_spark.functions.lm import load_hashed_lm, save_hashed_lm
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(8)], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame([(1, "the cat"), (2, "zqx")], ["doc_id", "text"])
+    nb, salt = 1 << 14, "prod"
+    lm = train_hashed_lm(train, "text", nb, salt)
+    before = {
+        r["doc_id"]: r["bits_milli"]
+        for r in bits_per_token(score, lm, n_buckets=nb, salt=salt).collect()
+    }
+    mf = save_hashed_lm(lm, str(tmp_path / "lm"), nb, salt)
+    assert mf["n_buckets"] == nb and mf["salt"] == salt
+    lm2, mf2 = load_hashed_lm(spark, str(tmp_path / "lm"))
+    after = {
+        r["doc_id"]: r["bits_milli"]
+        for r in bits_per_token(
+            score, lm2, n_buckets=mf2["n_buckets"], salt=mf2["salt"]
+        ).collect()
+    }
+    assert before == after
+
+
+def test_load_rejects_foreign_artifact(spark, tmp_path):
+    import json
+
+    from polyfuzz_spark.functions.lm import load_hashed_lm
+
+    d = tmp_path / "x"
+    d.mkdir()
+    (d / "manifest.json").write_text(json.dumps({"kind": "other"}))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a hashed LM"):
+        load_hashed_lm(spark, str(d))
+
+
 def test_scoring_plan_broadcasts_model(spark):
     docs = spark.createDataFrame(
         [(i, "a b c d") for i in range(50)], ["doc_id", "text"]
