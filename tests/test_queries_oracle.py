@@ -28,6 +28,9 @@ def test_oracle_keys_subset_of_queries():
     # bit-identical)
     assert set(QUERIES) - set(ORACLES) == {
         "embedding_knn_lsh", "embedding_knn_ivf", "wratio_top1",
+        # iterative argmax loop — no SQL twin; counting machinery exact
+        # via bpe_pair_counts, loop golden/property-tested (test_bpe.py)
+        "bpe_merges",
     }
 
 
