@@ -588,3 +588,58 @@ def test_streaming_decontam_gate_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert 1 not in got and got == [2, 3, 4]
+
+
+def test_streaming_lm_gate_matches_batch(spark, tmp_path):
+    """foreachBatch LM quality gate: survivors across micro-batches equal
+    the batch scorer's under the same absolute threshold, gibberish and
+    zero-token docs drop, and the audit column rides along."""
+    from polyfuzz_spark.functions.lm import bits_per_token, train_hashed_lm
+    from polyfuzz_spark.streaming.lm_gate import stream_lm_gate
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat near the door") for i in range(20)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "the cat sat near the door"),      # reference-like: keep
+            (2, "the mat near the cat"),           # reference-like: keep
+            (3, "zqxv wkyj bnmp qrst uvwx"),       # gibberish: drop
+            (4, "   "),                            # zero tokens: drop
+        ],
+        "doc_id long, text string",
+    )
+    nb, salt = 1 << 16, "gate"
+    lm = train_hashed_lm(ref, "text", nb, salt)
+    # total(~180) ≪ n_buckets(65536): B_tot = 16 bits, seen tokens cost
+    # 16 − fl2(cnt+1) ≈ 11-12, unseen exactly 16 → cut between them
+    thresh = 13_000
+
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    incoming.where("doc_id <= 2").coalesce(1).write.parquet(in_dir)
+    incoming.where("doc_id > 2").coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_lm_gate(
+        stream, lm, thresh, out_dir, ck_dir,
+        n_buckets=nb, salt=salt,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    want = sorted(
+        r.doc_id
+        for r in bits_per_token(incoming, lm, n_buckets=nb, salt=salt)
+        .where(f"bits_milli <= {thresh}")
+        .collect()
+    )
+    assert got == want == [1, 2]
+    assert "bits_milli" in out.columns
