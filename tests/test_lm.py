@@ -150,6 +150,51 @@ def test_load_rejects_foreign_artifact(spark, tmp_path):
         load_hashed_lm(spark, str(d))
 
 
+def test_cross_engine_fuzz_random_corpora(spark):
+    """Spark scoring vs the DuckDB CTE twin over seeded random corpora
+    with adversarial tokens (unicode, punctuation, digits-only, repeated
+    hot tokens, long words, empty/whitespace docs) — the floor_log2 /
+    bucket arithmetic must agree value-for-value, not just on the
+    contract corpus."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from polyfuzz_spark.functions.lm import lm_score_cte_sql
+
+    alphabet = [
+        "the", "cat", "naïve", "héllo", "漢字", "x" * 40, "42", "!?;",
+        "a", "_under_score_", "CamelCase", "ümlaut", "'quoted'",
+    ]
+    nb, salt = 1 << 10, "fuzz"
+    for seed in range(6):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(40):
+            n = rng.randint(0, 12)
+            rows.append((i, " ".join(rng.choice(alphabet) for _ in range(n))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = docs.where(F.col("doc_id") % 2 == 0)
+        lm = train_hashed_lm(ref, "text", nb, salt)
+        got = (
+            bits_per_token(docs, lm, n_buckets=nb, salt=salt)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        cte = lm_score_cte_sql(
+            "doc_id % 2 = 0", n_buckets=nb, salt=salt
+        )
+        exp = con.execute(
+            f"WITH {cte} SELECT doc_id, n_tokens, bits_milli "
+            f"FROM scored ORDER BY doc_id"
+        ).df()
+        assert got.astype("int64").values.tolist() == \
+            exp.astype("int64").values.tolist(), f"seed {seed}"
+
+
 def test_scoring_plan_broadcasts_model(spark):
     docs = spark.createDataFrame(
         [(i, "a b c d") for i in range(50)], ["doc_id", "text"]
