@@ -70,6 +70,48 @@ def test_select_topk_deterministic_tiebreak(spark):
     assert got == [1, 2]  # equal weights → ascending doc_id wins
 
 
+def test_cross_engine_fuzz_random_corpora(spark):
+    """Spark weights vs the DuckDB CTE twin over seeded random corpora
+    with adversarial tokens — bigram windows, bucket hashing and the
+    four-term floor_log2 LLR must agree value-for-value."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from polyfuzz_spark.operators.dsir import dsir_oracle_cte_sql
+
+    alphabet = [
+        "def", "self", "naïve", "漢字", "y" * 30, "7", "::", "words",
+        "the", "snake_case", "Mixed", "ß",
+    ]
+    nb, salt = 1 << 10, "fz"
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        rows = []
+        for i in range(35):
+            n = rng.randint(0, 10)
+            rows.append((i, " ".join(rng.choice(alphabet) for _ in range(n))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        target = docs.where(F.col("doc_id") % 3 == 0)
+        got = (
+            dsir_weights(docs, target, n_buckets=nb, salt=salt)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        cte = dsir_oracle_cte_sql(
+            "doc_id % 3 = 0", n_buckets=nb, salt=salt
+        )
+        exp = con.execute(
+            f"WITH {cte} SELECT doc_id, n_feats, llr_bits "
+            f"FROM weighted ORDER BY doc_id"
+        ).df()
+        assert got.astype("int64").values.tolist() == \
+            exp.astype("int64").values.tolist(), f"seed {seed}"
+
+
 def test_plan_shapes(spark):
     raw = spark.createDataFrame([(i, "a b c") for i in range(40)], ["doc_id", "text"])
     tgt = spark.createDataFrame([(i, "a b") for i in range(10)], ["doc_id", "text"])
