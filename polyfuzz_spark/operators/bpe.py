@@ -74,34 +74,6 @@ def _symbols(word: str) -> tuple[str, ...]:
     return tuple(word) + (EOW,)
 
 
-def _pair_counts(vocab: dict[tuple[str, ...], int]) -> Counter:
-    pairs: Counter = Counter()
-    for syms, cnt in vocab.items():
-        for a, b in zip(syms, syms[1:]):
-            pairs[(a, b)] += cnt
-    return pairs
-
-
-def _merge_vocab(
-    vocab: dict[tuple[str, ...], int], pair: tuple[str, str]
-) -> dict[tuple[str, ...], int]:
-    a, b = pair
-    merged = a + b
-    out: dict[tuple[str, ...], int] = {}
-    for syms, cnt in vocab.items():
-        res = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                res.append(merged)
-                i += 2
-            else:
-                res.append(syms[i])
-                i += 1
-        out[tuple(res)] = out.get(tuple(res), 0) + cnt
-    return out
-
-
 def learn_bpe(
     wc: DataFrame,
     n_merges: int,
@@ -125,19 +97,72 @@ def learn_bpe(
             )
         wc = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(int(max_words))
     pdf = wc.toPandas()  # bounded Arrow transfer (see module docstring)
-    vocab = {
-        _symbols(w): int(c) for w, c in zip(pdf["word"], pdf["cnt"])
-    }
+    # indexed incremental loop (the Sennrich reference implementation's
+    # fast path): per merge, only words CONTAINING the merged pair are
+    # touched — O(df(pair)) instead of O(|words|) per round, the
+    # difference between 50 s and <1 s for 50 merges at 165k words
+    words: list[list[str]] = []
+    counts: list[int] = []
+    agg: dict[tuple[str, ...], int] = {}
+    for w, c in zip(pdf["word"], pdf["cnt"]):
+        agg[_symbols(w)] = agg.get(_symbols(w), 0) + int(c)
+    for syms, c in agg.items():
+        words.append(list(syms))
+        counts.append(c)
+    pair_counts: Counter = Counter()
+    pair2words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        c = counts[wi]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            pair2words.setdefault(p, set()).add(wi)
+    # lazy-deletion heap for the argmax: (-cnt, pair) entries, stale ones
+    # (count moved since push) discarded at pop — O(log) per touched pair
+    # instead of an O(|pairs|) scan per round. Tuple order (-cnt, pair)
+    # IS the deterministic (count desc, pair asc) tie-break.
+    import heapq
+
+    heap = [(-c, p) for p, c in pair_counts.items() if c > 0]
+    heapq.heapify(heap)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(int(n_merges)):
-        pairs = _pair_counts(vocab)
-        if not pairs:
+        cnt = 0
+        while heap:
+            negc, cand = heapq.heappop(heap)
+            if pair_counts.get(cand, 0) == -negc:
+                a, b = cand
+                cnt = -negc
+                break
+        if not cnt:
             break
-        (a, b), cnt = min(
-            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
         merges.append((rank, a, b, a + b, int(cnt)))
-        vocab = _merge_vocab(vocab, (a, b))
+        merged = a + b
+        touched: set[tuple[str, str]] = set()
+        for wi in list(pair2words.get((a, b), ())):
+            syms, c = words[wi], counts[wi]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                touched.add(p)
+                s = pair2words.get(p)
+                if s is not None:
+                    s.discard(wi)
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[wi] = res
+            for p in zip(res, res[1:]):
+                pair_counts[p] += c
+                touched.add(p)
+                pair2words.setdefault(p, set()).add(wi)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, "
         "pair_count bigint",
