@@ -243,6 +243,64 @@ def bpe_encode(
     return toked.mapInPandas(enc, schema)
 
 
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc BPE token counts via the JOIN route — the 100 TB shape:
+    ``(id_col, n_tokens, n_bpe_tokens)``.
+
+    Encodes each distinct word exactly ONCE across the whole cluster:
+    distinct words (an agg over the corpus) → Arrow-batched encode of the
+    word table → doc-word explode equi-joins the per-word piece counts
+    back → one map-side-combined agg per doc. Work ∝ |distinct words| +
+    |token occurrences|, independent of task count; the join broadcasts
+    when the word table fits, shuffles on the word key (hash-uniform)
+    otherwise — AQE decides.
+
+    Route choice is CORPUS-DEPENDENT (measured A/B in BASELINE.md): on
+    Zipf-shaped natural text (occurrences ≫ distinct words) this route
+    amortizes every hot word to one encode; on identifier-heavy code
+    corpora where most occurrences ARE distinct words (the 2M-doc
+    synthetic corpus runs 84% distinct) there is nothing to amortize and
+    ``bpe_encode``'s shuffle-free memo route wins (10.9 vs 57.5 s at 32
+    threads). Decide on ``|distinct|/|occurrences|`` from the word-count
+    table — it is already computed before any encode. Only counts come
+    back (packing, length stats); use ``bpe_encode`` when the piece
+    SEQUENCES themselves are the output."""
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
+    }
+    toked = ensure_min_partitions(df).select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    )
+    words = (
+        toked.select(F.explode("__toks").alias("word")).distinct()
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "n_pieces": [
+                    len(_encode_token(w, ranks)) for w in pdf["word"]
+                ],
+            })
+
+    pieces = words.mapInPandas(enc, "word string, n_pieces bigint")
+    return (
+        toked.select(F.col(id_col), F.explode("__toks").alias("word"))
+        .join(pieces, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def pair_counts_df(wc: DataFrame) -> DataFrame:
     """Round-0 adjacent-symbol pair statistics of a word-frequency table —
     the distributed form of ONE merge round's counting step, with an

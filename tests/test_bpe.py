@@ -128,6 +128,26 @@ def test_encode_merge_priority_is_rank_order(spark):
     assert row["bpe_tokens"] == ["abc", EOW]
 
 
+def test_encode_counts_join_route_matches_encode(spark):
+    from polyfuzz_spark.operators.bpe import bpe_encode_counts
+
+    merges = learn_bpe(_wc_df(spark, SENNRICH), 10)
+    docs = spark.createDataFrame(
+        [(1, "lowest low low"), (2, "newest widest"), (3, "zzz qq")],
+        ["doc_id", "text"],
+    )
+    via_join = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"])
+        for r in bpe_encode_counts(docs, merges).collect()
+    }
+    via_memo = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert via_join == via_memo
+    assert via_join[1][0] == 3
+
+
 def test_encode_string_ids(spark):
     merges = learn_bpe(_wc_df(spark, {"ab": 2}), 1)
     docs = spark.createDataFrame([("d1", "ab")], ["doc_id", "text"])
