@@ -760,6 +760,81 @@ WHERE rep.v IS NULL OR rep.r = d.doc_id
 """
 
 
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the standard dedup diagnostic
+    ("how much of the corpus is 2-way, 10-way, 1000-way duplicated?"),
+    and the skew early-warning for the survivor join. Same MinHash pair
+    graph as ``dedup_corpus`` (shared cached pair table), transitive
+    clusters via the adaptive CC tiers, singletons counted at size 1:
+    ``(cluster_size, n_clusters, n_docs)``. The corpus collapses to the
+    assignments table, then to a ≤ max-cluster-size histogram — two
+    map-side-combined aggs beyond the shared pair graph."""
+    from .operators.linkage import connected_components
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = _minhash_pairs(spark, sf_dir)
+    # zero-pad ids so string min == numeric min (same trick as
+    # dedup.dedup_corpus — connected_components keys are strings)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
+    edges = pairs.select(pad("from_id").alias("src"), pad("to_id").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("representative").cast("bigint").alias("rep"),
+    )
+    rep = docs.join(comp, "doc_id", "left").select(
+        F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep")
+    )
+    sizes = rep.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+# the dedup_corpus closure CTE, extended two aggs: rep per doc (singletons
+# = own rep via the LEFT JOIN), size per rep, histogram per size
+ORACLE_DUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, length(text) - 2), i -> substring(text, i, 3)))) AS term
+  FROM documents WHERE length(text) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS from_id, b.doc_id AS to_id, count(*) AS c
+  FROM g a JOIN g b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT from_id, to_id FROM inter
+  JOIN sz sa ON from_id = sa.doc_id
+  JOIN sz sb ON to_id = sb.doc_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= {MINHASH_T}
+),
+sym AS (SELECT from_id AS a, to_id AS b FROM pairs
+        UNION SELECT to_id AS a, from_id AS b FROM pairs),
+reach(v, r) AS (
+  SELECT a AS v, a AS r FROM sym
+  UNION
+  SELECT s.b AS v, reach.r FROM sym s JOIN reach ON s.a = reach.v
+),
+rep AS (SELECT v, min(r) AS r FROM reach GROUP BY v),
+assigned AS (
+  SELECT d.doc_id, coalesce(rep.r, d.doc_id) AS rep
+  FROM documents d LEFT JOIN rep ON d.doc_id = rep.v
+),
+csz AS (SELECT rep, count(*) AS cluster_size FROM assigned GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM csz GROUP BY 1
+"""
+
+
 SPLIT_TRAIN_FRAC = 0.8
 SPLIT_SALT = "split"
 
@@ -2438,6 +2513,7 @@ def all_queries():
         "containment_dups": q_containment_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_corpus": q_dedup_corpus,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
         "dedup_against": q_dedup_against,
         "dedup_corpus_embedding": q_dedup_corpus_embedding,
         "sample_stratified": q_sample_stratified,
@@ -2497,6 +2573,7 @@ def all_oracles():
         "containment_dups": ORACLE_CONTAINMENT,
         "minhash_near_dups": ORACLE_MINHASH,
         "dedup_corpus": ORACLE_DEDUP_CORPUS,
+        "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
         "dedup_against": _oracle_dedup_against(),
         "dedup_corpus_embedding": ORACLE_DEDUP_CORPUS_EMB,
         "sample_stratified": _sample_oracle(),
