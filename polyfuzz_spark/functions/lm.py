@@ -196,6 +196,30 @@ scored AS (
 )"""
 
 
+def merge_hashed_lms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two fitted hashed LMs into one (count tables add; totals
+    add) — the incremental-evolution verb mirroring
+    ``snapshot.append_to_snapshot_index``: fit a small LM on the NEW
+    batch only and merge, never re-reading the standing corpus. Both
+    models MUST share n_buckets/salt (the save/load manifest carries
+    them); bucket arithmetic makes the merge a union + one map-side-
+    combined agg over ≤ 2·n_buckets rows."""
+    ta = a.agg(F.coalesce(F.max("total"), F.lit(0)).alias("t"))
+    tb = b.agg(F.coalesce(F.max("total"), F.lit(0)).alias("t"))
+    total = F.broadcast(
+        ta.crossJoin(tb.withColumnRenamed("t", "t2")).select(
+            (F.col("t") + F.col("t2")).alias("total")
+        )
+    )
+    return (
+        a.select("bucket", "cnt")
+        .unionByName(b.select("bucket", "cnt"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .crossJoin(total)
+    )
+
+
 def save_hashed_lm(
     lm: DataFrame,
     path: str,

@@ -112,6 +112,31 @@ def test_quality_buckets_tercile_assignment(spark):
     )
 
 
+def test_merge_equals_joint_fit(spark):
+    """Fitting on two halves and merging must equal fitting on the union
+    — the incremental-LM contract (count tables and totals both add)."""
+    from polyfuzz_spark.functions.lm import merge_hashed_lms
+
+    h1 = [(i, "the cat sat") for i in range(5)]
+    h2 = [(i + 10, "a dog ran far") for i in range(7)]
+    nb = 1 << 12
+    joint = train_hashed_lm(
+        spark.createDataFrame(h1 + h2, ["doc_id", "text"]), "text", nb
+    )
+    merged = merge_hashed_lms(
+        train_hashed_lm(spark.createDataFrame(h1, ["doc_id", "text"]), "text", nb),
+        train_hashed_lm(spark.createDataFrame(h2, ["doc_id", "text"]), "text", nb),
+    )
+    score = spark.createDataFrame(
+        [(1, "the dog sat far"), (2, "zz qq")], ["doc_id", "text"]
+    )
+    a = {r["doc_id"]: r["bits_milli"]
+         for r in bits_per_token(score, joint, n_buckets=nb).collect()}
+    b = {r["doc_id"]: r["bits_milli"]
+         for r in bits_per_token(score, merged, n_buckets=nb).collect()}
+    assert a == b and len(a) == 2
+
+
 def test_save_load_roundtrip_preserves_scores(spark, tmp_path):
     from polyfuzz_spark.functions.lm import load_hashed_lm, save_hashed_lm
 
