@@ -47,6 +47,66 @@ SCALE_KNOBS = {
 BLOCKED_KNOBS_MIN_DOCS = 500_000  # monkeypatchable in tests
 
 
+# the banded join's OUTPUT budget for auto-resolved knobs: above this the
+# permissive regime demotes to the SCALE cap/min-shared. ~20M pairs keeps
+# the packed-vector join + Arrow scorer in seconds on local[32]; the ER
+# bench's measured-safe config emits far less at every tested scale.
+CANDIDATE_PAIR_BUDGET = 20_000_000
+
+
+def capped_pair_count(bands: DataFrame, cap: int | None) -> int:
+    """The EXACT row count the banded self-join will emit under a bucket
+    cap: Σ_buckets C(min(m, cap), 2) — one map-side-combined agg over the
+    band table (~20 B/row), no join. This is the pre-flight that makes
+    knob resolution MEASURED instead of guessed: doc count alone cannot
+    see band-key concentration (a shared-template code corpus puts >20%
+    of all docs behind ONE band key at any corpus size — BASELINE.md's
+    124k-doc post-mortem, 421M pairs under the permissive cap)."""
+    m = F.col("m") if cap is None else F.least(F.col("m"), F.lit(int(cap)))
+    row = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.coalesce(F.sum(m * (m - 1) / 2), F.lit(0.0)).alias("p"))
+        .collect()[0]
+    )
+    return int(row["p"])
+
+
+def enforce_pair_budget(
+    bands: DataFrame,
+    knobs: dict,
+    budget: int | None = None,  # None → module CANDIDATE_PAIR_BUDGET
+    stats: dict | None = None,
+) -> dict:
+    """Demote auto-resolved blocking knobs when the band table's MEASURED
+    join fan-out exceeds ``budget``: cap → the SCALE cap, min_shared_bands
+    → ≥2 (both apply at join time, so the band table is reused, not
+    recomputed). Returns the (possibly demoted) knob dict; ``stats``
+    receives the measured counts for manifests. Callers apply this only
+    to AUTO-resolved knobs — explicit caller knobs are a contract."""
+    if budget is None:
+        budget = CANDIDATE_PAIR_BUDGET  # read at call time (testable)
+    measured = capped_pair_count(bands, knobs.get("max_bucket_size"))
+    out = dict(knobs)
+    demoted = False
+    if measured > budget:
+        out["max_bucket_size"] = min(
+            SCALE_KNOBS["max_bucket_size"],
+            out["max_bucket_size"] or SCALE_KNOBS["max_bucket_size"],
+        )
+        out["min_shared_bands"] = max(out["min_shared_bands"] or 1, 2)
+        demoted = True
+    if stats is not None:
+        stats["capped_pairs_at_resolved"] = measured
+        stats["pair_budget"] = budget
+        stats["demoted"] = demoted
+        if demoted:
+            stats["capped_pairs_at_demoted"] = capped_pair_count(
+                bands, out["max_bucket_size"]
+            )
+    return out
+
+
 def resolve_blocking_knobs(
     n_docs: int,
     num_hashes: int | None = None,

@@ -336,7 +336,18 @@ class CurationPipeline(CheckpointedPlan):
             keyed = docs.select("doc_id", F.col(text).alias("key"))
             bands = minhash_bands_mapside(
                 keyed, num_hashes=knobs["num_hashes"], bands=knobs["bands"],
-            )
+            ).localCheckpoint(eager=True)
+            # MEASURED pair-budget gate on auto-resolved safety knobs: the
+            # doc-count regimes cannot see band-key concentration (this
+            # generator's corpus puts 22% of docs behind one band key at
+            # ANY size — the 124k-doc post-mortem in BASELINE.md emitted
+            # 421M pairs under the permissive cap and spilled 79 GB).
+            # Explicit config knobs skip the gate: they are a contract.
+            knob_stats: dict = {}
+            if cfg.max_bucket_size is None and cfg.min_shared_bands is None:
+                from ..operators.adaptive import enforce_pair_budget
+
+                knobs = enforce_pair_budget(bands, knobs, stats=knob_stats)
             cands = candidates_from_bands(
                 bands, None,
                 max_bucket_size=knobs["max_bucket_size"],
@@ -366,6 +377,7 @@ class CurationPipeline(CheckpointedPlan):
                     json_rows(self, "split")
                     - json_manifest(self, "split")["n_train"],
                 "blocking_knobs": knobs,
+                "pair_budget_gate": knob_stats,
             })
 
         if not self.is_complete("final"):

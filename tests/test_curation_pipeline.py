@@ -274,6 +274,67 @@ def test_code_rules_dimension(spark, tmp_path):
     assert 100020 not in survivors and 100021 not in survivors
 
 
+def test_capped_pair_count_exact(spark):
+    from polyfuzz_spark.operators.adaptive import capped_pair_count
+
+    bands = spark.createDataFrame(
+        [(0, "hot", i) for i in range(10)] + [(1, "cold", 0), (1, "cold", 1)],
+        "band int, band_key string, doc_id long",
+    )
+    assert capped_pair_count(bands, None) == 45 + 1
+    assert capped_pair_count(bands, 4) == 6 + 1
+    assert capped_pair_count(bands.where("band = 99"), 4) == 0
+
+
+def test_enforce_pair_budget_demotes_and_records(spark):
+    from polyfuzz_spark.operators import adaptive
+
+    bands = spark.createDataFrame(
+        [(0, "hot", i) for i in range(30)],
+        "band int, band_key string, doc_id long",
+    )
+    knobs = dict(adaptive.PERMISSIVE_KNOBS)
+    stats: dict = {}
+    out = adaptive.enforce_pair_budget(bands, knobs, budget=10, stats=stats)
+    assert out["max_bucket_size"] == adaptive.SCALE_KNOBS["max_bucket_size"]
+    assert out["min_shared_bands"] == 2
+    assert stats["demoted"] and stats["capped_pairs_at_resolved"] == 435
+    assert "capped_pairs_at_demoted" in stats
+    # under budget → untouched
+    stats2: dict = {}
+    out2 = adaptive.enforce_pair_budget(
+        bands, knobs, budget=1000, stats=stats2
+    )
+    assert out2 == knobs and not stats2["demoted"]
+
+
+def test_pipeline_pair_budget_gate(spark, tmp_path, monkeypatch):
+    """A band-concentrated corpus must demote the auto-resolved knobs (the
+    124k-doc post-mortem: 421M pairs / 79 GB spill under the permissive
+    cap); explicit config knobs skip the gate entirely."""
+    from polyfuzz_spark.operators import adaptive
+
+    corpus = _corpus(spark)
+    monkeypatch.setattr(adaptive, "CANDIDATE_PAIR_BUDGET", 0)
+    pipe = CurationPipeline(spark, str(tmp_path / "gate"), CFG)
+    summary = pipe.run(corpus)
+    m = json.loads(pipe._manifest("split").read_text())
+    assert m["pair_budget_gate"]["demoted"] is True
+    assert m["blocking_knobs"]["max_bucket_size"] == \
+        adaptive.SCALE_KNOBS["max_bucket_size"]
+    assert m["blocking_knobs"]["min_shared_bands"] == 2
+    assert all(s["complete"] for s in summary.values())
+
+    # explicit knobs are a contract: gate skipped, stats empty
+    cfg = CurationConfig(boiler_min_docs=8, min_alpha_milli=400,
+                         max_bucket_size=777, min_shared_bands=1)
+    pipe2 = CurationPipeline(spark, str(tmp_path / "explicit"), cfg)
+    pipe2.run(corpus)
+    m2 = json.loads(pipe2._manifest("split").read_text())
+    assert m2["pair_budget_gate"] == {}
+    assert m2["blocking_knobs"]["max_bucket_size"] == 777
+
+
 def test_split_blocking_knobs_size_resolved(spark, tmp_path, monkeypatch):
     """The split stage's banded join sizes its knobs to the DEDUPED corpus:
     permissive below the threshold, the measured-safe ER regime above it
