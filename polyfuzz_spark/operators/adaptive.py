@@ -325,7 +325,16 @@ def tfidf_transform_topk(
     cands = minhash_candidates(
         _as_doc_id(new_from, id_col, key_col),
         _as_doc_id(to_df, id_col, key_col),
-        key_col=key_col, cfg=model.config, **knobs,
+        key_col=key_col, cfg=model.config,
+        # auto-resolved knobs → measured fan-out gate (the doc-count
+        # regime cannot see band-key concentration; BASELINE post-mortem).
+        # Explicit caller knobs are a contract: no gate.
+        pair_budget=(
+            CANDIDATE_PAIR_BUDGET
+            if max_bucket_size is _UNSET and min_shared_bands is None
+            else None
+        ),
+        **knobs,
     )
     scored = score_candidates_packed(cands, new_packed, to_packed)
     milli = F.floor(F.round("sim", 3) * 1000 + F.lit(0.5)).cast("bigint")

@@ -110,9 +110,21 @@ def minhash_candidates(
     min_shared_bands: int = 1,
     hot_bucket: str = "drop",
     max_salt: int = 16,
+    pair_budget: int | None = None,
+    budget_stats: dict | None = None,
 ) -> DataFrame:
     """Distinct (from_id, to_id) candidate pairs sharing ≥ min_shared_bands
     LSH bands.
+
+    ``pair_budget``: when set (callers with AUTO-resolved knobs), the
+    banded join's output is MEASURED off the band tables before joining
+    — Σ C(min(m, cap), 2) in self mode, Σ min(mf, cap)·min(mt, cap)
+    two-sided — and the cap/min-shared demote to the SCALE values when
+    over budget. Doc-count knob regimes cannot see band-key
+    concentration (a shared-template corpus banded 22% of 124k docs
+    behind ONE key and emitted 421M pairs under the permissive cap —
+    BASELINE.md post-mortem). ``budget_stats`` receives the measured
+    counts.
 
     Self mode (to_df None): both orientations kept, diagonal excluded —
     matching the downstream per-from top-k semantics.
@@ -146,6 +158,45 @@ def minhash_candidates(
             bands,
             rows_per_band,
         )
+    if pair_budget is not None:
+        from .adaptive import SCALE_KNOBS
+
+        f_bands = f_bands.localCheckpoint(eager=True)
+        cap = max_bucket_size
+        mf = F.count(F.lit(1)) if cap is None else F.least(
+            F.count(F.lit(1)), F.lit(int(cap))
+        )
+        f_sizes = f_bands.groupBy("band", "band_key").agg(mf.alias("mf"))
+        if t_bands is None:
+            measured = int(
+                f_sizes.agg(
+                    F.coalesce(
+                        F.sum(F.col("mf") * (F.col("mf") - 1) / 2), F.lit(0.0)
+                    )
+                ).collect()[0][0]
+            )
+        else:
+            t_bands = t_bands.localCheckpoint(eager=True)
+            t_sizes = t_bands.groupBy("band", "band_key").agg(mf.alias("mt"))
+            measured = int(
+                f_sizes.join(t_sizes, ["band", "band_key"])
+                .agg(
+                    F.coalesce(F.sum(F.col("mf") * F.col("mt")), F.lit(0.0))
+                ).collect()[0][0]
+            )
+        demoted = measured > pair_budget
+        if demoted:
+            max_bucket_size = min(
+                SCALE_KNOBS["max_bucket_size"],
+                max_bucket_size or SCALE_KNOBS["max_bucket_size"],
+            )
+            min_shared_bands = max(min_shared_bands, 2)
+        if budget_stats is not None:
+            budget_stats.update(
+                measured_pairs=measured, pair_budget=pair_budget,
+                demoted=demoted, max_bucket_size=max_bucket_size,
+                min_shared_bands=min_shared_bands,
+            )
     return candidates_from_bands(
         f_bands, t_bands, max_bucket_size=max_bucket_size,
         min_shared_bands=min_shared_bands, hot_bucket=hot_bucket,

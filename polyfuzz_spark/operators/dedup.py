@@ -988,7 +988,16 @@ def dedup_against(
         )
         cfg = TfidfConfig(n_gram_range=(n, n), clean_string=False,
                           remove_space_ngrams=False)
-        cands = minhash_candidates(nd_surv, cd, "key", cfg, **knobs).select(
+        from .adaptive import CANDIDATE_PAIR_BUDGET
+
+        cands = minhash_candidates(
+            nd_surv, cd, "key", cfg,
+            # auto-resolved knobs → measured fan-out gate (BASELINE
+            # post-mortem: doc-count regimes miss band concentration);
+            # an explicitly-passed cap is a contract → no gate
+            pair_budget=None if kw else CANDIDATE_PAIR_BUDGET,
+            **knobs,
+        ).select(
             (F.col("from_id") * 2 + 1).alias("from_id"),
             (F.col("to_id") * 2).alias("to_id"),
         )

@@ -370,3 +370,44 @@ def test_containment_distinct_set_route_matches_oracle(
     exp = con.execute(ORACLE_CONTAINMENT).df()
     ok, msg = compare(got, exp)
     assert ok, msg
+
+
+def test_minhash_candidates_pair_budget_gate(spark):
+    """Two-sided measured fan-out gate at the blocking chokepoint: a
+    concentrated corpus over a tiny budget demotes to the SCALE cap and
+    ≥2 shared bands — and exact duplicates (which share ALL bands)
+    survive the demotion, so downstream exact verification is unchanged."""
+    from polyfuzz_spark.operators import adaptive
+    from polyfuzz_spark.operators.blocking import minhash_candidates
+    from polyfuzz_spark.operators.tfidf import TfidfConfig
+
+    text = "def shared_template(): return compute_the_same_thing(x, y)"
+    a = spark.createDataFrame(
+        [(i, text) for i in range(20)], ["doc_id", "key"]
+    )
+    b = spark.createDataFrame(
+        [(i + 100, text) for i in range(20)], ["doc_id", "key"]
+    )
+    cfg = TfidfConfig(n_gram_range=(3, 3), clean_string=False,
+                      remove_space_ngrams=False)
+    stats: dict = {}
+    cands = minhash_candidates(
+        a, b, "key", cfg, max_bucket_size=5000, min_shared_bands=1,
+        pair_budget=10, budget_stats=stats,
+    )
+    assert stats["demoted"] is True
+    assert stats["measured_pairs"] >= 16 * 400  # 16 bands × 20×20
+    assert stats["max_bucket_size"] == \
+        adaptive.SCALE_KNOBS["max_bucket_size"]
+    assert stats["min_shared_bands"] == 2
+    # identical docs share all bands → every cross pair still a candidate
+    assert cands.count() == 400
+
+    # under budget → untouched
+    stats2: dict = {}
+    minhash_candidates(
+        a, b, "key", cfg, max_bucket_size=5000, min_shared_bands=1,
+        pair_budget=10_000_000, budget_stats=stats2,
+    ).count()
+    assert stats2["demoted"] is False
+    assert stats2["max_bucket_size"] == 5000
