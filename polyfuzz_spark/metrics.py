@@ -110,3 +110,84 @@ def pairwise_f1(
         "tp": tp, "fp": fp, "fn": fn, "n_pairs": row.n_pairs,
         "precision": precision, "recall": recall, "f1": f1,
     }
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records,
+) -> DataFrame:
+    """Blocking-scheme evaluation — the classic indexing triple from the
+    record-linkage literature (Christen, "A Survey of Indexing Techniques
+    for Scalable Record Linkage and Deduplication", TKDE 2012):
+
+      reduction ratio     RR = 1 − |candidates| / (n·(n−1)/2)
+      pairs completeness  PC = |truth ∩ candidates| / |truth|   (blocking recall)
+      pairs quality       PQ = |truth ∩ candidates| / |candidates|
+
+    ``candidates`` and ``truth`` are pair tables (from_id, to_id); both are
+    canonically oriented (min, max) and deduped here, so callers may pass
+    either orientation. ``n_records`` is the record count (int) or a
+    one-row DataFrame with column ``n``.
+
+    Ratios are emitted in integer milli (floor(round(x,3)·1000 + 0.5)) for
+    engine-exact comparison; a zero denominator yields NULL (no truth
+    pairs → PC undefined, not 0). One row out.
+
+    Scale shape: two map-side-combined counts + one left-semi equi-join on
+    the pair key — never touches the n² pair space, so evaluating a
+    blocking scheme costs O(|candidates| + |truth|) regardless of corpus
+    size. Fully declarative (no driver collect): usable as a streaming
+    foreachBatch audit as well as a batch query.
+    """
+    spark = candidates.sparkSession
+
+    def orient(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("from_id", "to_id").alias("from_id"),
+            F.greatest("from_id", "to_id").alias("to_id"),
+        ).distinct()
+
+    cand = orient(candidates)
+    tru = orient(truth)
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    t = tru.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    h = tru.join(cand, ["from_id", "to_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_true_in_candidates")
+    )
+    if isinstance(n_records, DataFrame):
+        d = n_records.select(F.col("n").cast("bigint").alias("n_records"))
+    else:
+        d = spark.range(1).select(
+            F.lit(int(n_records)).cast("bigint").alias("n_records")
+        )
+
+    milli = lambda x: F.floor(F.round(x, 3) * 1000 + F.lit(0.5)).cast("bigint")
+    ratio = lambda num, den: F.when(
+        den > 0, milli(num.cast("double") / den.cast("double"))
+    )
+    # double, not bigint: n·(n−1)/2 overflows int64 past ~4.3e9 records,
+    # and the ratio is consumed at milli precision anyway
+    total = (
+        F.col("n_records").cast("double")
+        * (F.col("n_records").cast("double") - 1)
+        / 2
+    )
+    return (
+        c.crossJoin(t).crossJoin(h).crossJoin(d)
+        .select(
+            "n_records",
+            "n_candidate_pairs",
+            "n_true_pairs",
+            "n_true_in_candidates",
+            ratio(
+                total - F.col("n_candidate_pairs"), total
+            ).alias("reduction_ratio_milli"),
+            ratio(
+                F.col("n_true_in_candidates"), F.col("n_true_pairs")
+            ).alias("pairs_completeness_milli"),
+            ratio(
+                F.col("n_true_in_candidates"), F.col("n_candidate_pairs")
+            ).alias("pairs_quality_milli"),
+        )
+    )

@@ -218,3 +218,71 @@ def connected_components(
         F.col("label").alias("representative"),
         F.xxhash64("label").alias("cluster_id"),
     )
+
+
+def incremental_components(
+    assignments: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """Cluster maintenance: fold a NEW batch of edges into a converged
+    clustering without re-running connected components over the old graph.
+
+    ``assignments``: (key, representative[, cluster_id]) — the CC output
+    over the old edge set (``representative`` must be the min member key of
+    each component, which is what ``connected_components`` produces).
+    ``new_edges``: (src, dst) — the new batch. Self-edges (src == dst) are
+    ignored, matching the upstream match stage (self-pairs never survive
+    J4 self-match exclusion).
+
+    Old clusters contract to their representative — one supernode per old
+    cluster — so CC runs over the CONTRACTED batch graph only: its size is
+    O(|new batch|), never O(|old graph|). At 10^12-file scale this is the
+    difference between re-clustering a trillion edges per snapshot delta
+    and clustering the delta itself; the two equi-joins against the
+    assignments table are the only contact with old state (bucketed-by-key
+    layout keeps them shuffle-free on the big side, sources/bucketed.py).
+
+    Returns the same (key, representative, cluster_id) table a full
+    ``connected_components(old_edges ∪ new_edges)`` would — exact, not
+    approximate — because contraction-by-min preserves the global min:
+    each merged family's min is the min over its old representatives
+    (each already the min of its members) and the new keys
+    (``tests/test_incremental_cc.py`` fuzzes this equivalence).
+    """
+    rep = assignments.select("key", "representative")
+    contracted = (
+        new_edges.join(
+            rep.select(
+                F.col("key").alias("src"), F.col("representative").alias("sr")
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            rep.select(
+                F.col("key").alias("dst"), F.col("representative").alias("dr")
+            ),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("sr", "src").alias("src"),
+            F.coalesce("dr", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    delta = connected_components(contracted)
+    remap = delta.select(
+        F.col("key").alias("representative"),
+        F.col("representative").alias("new_rep"),
+    )
+    old_rows = assignments.join(remap, "representative", "left").select(
+        "key", F.coalesce("new_rep", "representative").alias("representative")
+    )
+    new_rows = delta.join(
+        assignments.select("key"), "key", "left_anti"
+    ).select("key", "representative")
+    return old_rows.unionByName(new_rows).select(
+        "key",
+        "representative",
+        F.xxhash64("representative").alias("cluster_id"),
+    )

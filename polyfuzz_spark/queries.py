@@ -2496,6 +2496,190 @@ FROM sz LEFT JOIN rep ON sz.g = rep.v
 
 
 # --------------------------------------------------------------------------
+# Blocking-scheme evaluation + incremental cluster maintenance +
+# multi-attribute record linkage (round-3 ER-family additions)
+# --------------------------------------------------------------------------
+BQ_JACCARD_T = 0.5
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduction ratio / pairs completeness / pairs quality (Christen TKDE
+    2012) of the SimHash banding scheme, evaluated against exact
+    3-gram-Jaccard ≥ 0.5 truth pairs: the standard way to audit whether a
+    blocking configuration is recall-safe BEFORE committing a 10^12-file
+    run to it. Both inputs reuse already-oracle-proven pair generators
+    (md5-backed SimHash, exact gram-join Jaccard), so the composition has
+    an exact DuckDB twin; metrics.blocking_quality never touches the n²
+    pair space (two counts + one pair-key semi-join)."""
+    from .metrics import blocking_quality
+    from .operators.dedup import ngram_jaccard_pairs, simhash_near_dups
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("key"))
+    cand = simhash_near_dups(docs, max_hamming=3)
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=BQ_JACCARD_T)
+    n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+    return blocking_quality(cand, truth, n)
+
+
+def _oracle_blocking_quality() -> str:
+    jacc = ORACLE_JACCARD.replace(
+        f">= {JACCARD_T}", f">= {BQ_JACCARD_T}"
+    )
+    milli = "CAST(floor(round({x}, 3) * 1000 + 0.5) AS BIGINT)"
+    rr = milli.format(x="(tot - nc) / tot")
+    pc = milli.format(x="CAST(nh AS DOUBLE) / CAST(nt AS DOUBLE)")
+    pq = milli.format(x="CAST(nh AS DOUBLE) / CAST(nc AS DOUBLE)")
+    return f"""
+WITH cand AS (SELECT from_id, to_id FROM ({ORACLE_SIMHASH})),
+tru AS (SELECT from_id, to_id FROM ({jacc})),
+c AS (SELECT count(*) AS nc FROM cand),
+t AS (SELECT count(*) AS nt FROM tru),
+h AS (SELECT count(*) AS nh FROM tru JOIN cand USING (from_id, to_id)),
+d AS (SELECT count(*) AS n_records,
+             CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) - 1) / 2
+               AS tot
+      FROM documents)
+SELECT n_records, nc AS n_candidate_pairs, nt AS n_true_pairs,
+       nh AS n_true_in_candidates,
+       CASE WHEN tot > 0 THEN {rr} END AS reduction_ratio_milli,
+       CASE WHEN nt > 0 THEN {pc} END AS pairs_completeness_milli,
+       CASE WHEN nc > 0 THEN {pq} END AS pairs_quality_milli
+FROM c, t, h, d
+"""
+
+
+INCR_SPLIT = 300
+
+
+def q_cluster_assignments_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster MAINTENANCE, not re-clustering: the match-edge set splits
+    into an 'old snapshot' (both endpoints < {INCR_SPLIT}) and a 'new
+    batch'; connected components runs once over the old graph, then
+    ``incremental_components`` folds the batch in by contracting old
+    clusters to their representative supernode — CC cost O(|batch|), old
+    state touched only through two equi-joins. The oracle is the FULL
+    recompute over all edges (same recursive CTE as cluster_assignments):
+    hash-equality here proves incremental == from-scratch, the invariant
+    that makes per-snapshot delta clustering sound at 10^12 files."""
+    from .operators.linkage import (
+        connected_components,
+        incremental_components,
+    )
+
+    ranked = _tfidf_ranked_pairs(spark, sf_dir)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+    edges = ranked.where(
+        (F.col("rnk") <= CLUSTER_TOP_N)
+        & (F.col("sim_milli") > int(LINK_MIN_SIM * 1000))
+    )
+    is_old = (F.col("from_id") < INCR_SPLIT) & (F.col("to_id") < INCR_SPLIT)
+    old_edges = edges.where(is_old).select(
+        pad("from_id").alias("src"), pad("to_id").alias("dst")
+    )
+    new_edges = edges.where(~is_old).select(
+        pad("from_id").alias("src"), pad("to_id").alias("dst")
+    )
+    base = connected_components(old_edges)
+    cc = incremental_components(base, new_edges)
+    return cc.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("representative").cast("bigint").alias("rep_doc_id"),
+    )
+
+
+# the exact full-recompute twin: incremental maintenance must be
+# indistinguishable from clustering the union graph from scratch
+ORACLE_CLUSTERS_INCREMENTAL = ORACLE_CLUSTERS
+
+
+MF_W_NAME, MF_W_BRAND, MF_W_SIZE = 0.6, 0.25, 0.15
+
+
+def q_multifield_match_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-attribute record linkage (Fellegi–Sunter-style linear score):
+    candidate records blocked on p_type (an equi-join, never a cross join
+    over the catalog), then a weighted field score — 0.6·JW(name) +
+    0.25·[brand equal] + 0.15·size-closeness — ranked per from-record on
+    the QUANTIZED milli score with a deterministic to_id tie-break. The
+    reference matches single string lists only; multi-field scoring is the
+    form real entity resolution takes (names + attributes), and every
+    field kernel here is individually oracle-proven (JW bit-exact vs
+    DuckDB's jaro_winkler_similarity)."""
+    from .scorers.editdistance import pair_scorer_udf
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    f_side = part.where(F.col("p_partkey") % 2 == 1).select(
+        F.col("p_partkey").alias("from_id"),
+        F.col("p_name").alias("fn"),
+        F.col("p_brand").alias("fb"),
+        F.col("p_size").alias("fs"),
+        "p_type",
+    )
+    t_side = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("to_id"),
+        F.col("p_name").alias("tn"),
+        F.col("p_brand").alias("tb"),
+        F.col("p_size").alias("ts"),
+        "p_type",
+    )
+    # spread the from-side so the blocked join (6 p_type groups) and the
+    # Python JW kernel parallelize past the group count
+    n_part = spark.sparkContext.defaultParallelism * 2
+    # unit-scale kernel: the *100/100 round trip costs an ulp, which flips
+    # the composite's milli rounding at .0005 boundaries (bit-exactness vs
+    # DuckDB's jaro_winkler_similarity is otherwise preserved)
+    jw = pair_scorer_udf("jaro_winkler_unit")(F.col("fn"), F.col("tn"))
+    brand_eq = (F.col("fb") == F.col("tb")).cast("double")
+    size_sim = F.lit(1.0) - (
+        F.least(F.abs(F.col("fs") - F.col("ts")), F.lit(20)).cast("double")
+        / F.lit(20.0)
+    )
+    score = (
+        F.lit(MF_W_NAME) * jw
+        + F.lit(MF_W_BRAND) * brand_eq
+        + F.lit(MF_W_SIZE) * size_sim
+    )
+    pairs = (
+        f_side.repartition(n_part)
+        .join(t_side, "p_type")
+        .select("from_id", "to_id", _milli(score).alias("score_milli"))
+    )
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("score_milli"), F.asc("to_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("from_id", "to_id", "score_milli")
+    )
+
+
+ORACLE_MULTIFIELD_TOP1 = f"""
+WITH f AS (SELECT p_partkey AS from_id, p_name AS fn, p_brand AS fb,
+                  p_size AS fs, p_type
+           FROM part WHERE p_partkey % 2 = 1),
+t AS (SELECT p_partkey AS to_id, p_name AS tn, p_brand AS tb,
+             p_size AS ts, p_type
+      FROM part WHERE p_partkey % 2 = 0),
+pairs AS (
+  SELECT from_id, to_id,
+         {MILLI.format(x=f"{MF_W_NAME} * jaro_winkler_similarity(fn, tn)"
+                         f" + {MF_W_BRAND} * (CASE WHEN fb = tb"
+                         " THEN CAST(1.0 AS DOUBLE)"
+                         " ELSE CAST(0.0 AS DOUBLE) END)"
+                         f" + {MF_W_SIZE} * (1.0 -"
+                         " CAST(least(abs(fs - ts), 20) AS DOUBLE) / 20.0)")}
+           AS score_milli
+  FROM f JOIN t USING (p_type)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY from_id
+                               ORDER BY score_milli DESC, to_id) AS rnk
+  FROM pairs)
+SELECT from_id, to_id, score_milli FROM ranked WHERE rnk = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 def all_queries():
@@ -2503,6 +2687,9 @@ def all_queries():
         "tfidf_match_top1": q_tfidf_match_top1,
         "tfidf_transform_top1": q_tfidf_transform_top1,
         "cluster_assignments": q_cluster_assignments,
+        "cluster_assignments_incremental": q_cluster_assignments_incremental,
+        "blocking_quality": q_blocking_quality,
+        "multifield_match_top1": q_multifield_match_top1,
         "score_pairs_jw": q_score_pairs_jw,
         "levenshtein_top1": q_levenshtein_top1,
         "token_sort_lev_top1": q_token_sort_lev_top1,
@@ -2563,6 +2750,11 @@ def all_oracles():
         "tfidf_match_top1": ORACLE_TFIDF_TOP1,
         "tfidf_transform_top1": ORACLE_TFIDF_TRANSFORM,
         "cluster_assignments": ORACLE_CLUSTERS,
+        # the full-recompute twin: incremental maintenance must equal
+        # clustering the union graph from scratch
+        "cluster_assignments_incremental": ORACLE_CLUSTERS_INCREMENTAL,
+        "blocking_quality": _oracle_blocking_quality(),
+        "multifield_match_top1": ORACLE_MULTIFIELD_TOP1,
         "score_pairs_jw": ORACLE_SCORE_PAIRS_JW,
         "levenshtein_top1": ORACLE_LEV_TOP1,
         "token_sort_lev_top1": _oracle_token_sort_lev_top1(),

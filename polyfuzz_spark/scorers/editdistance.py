@@ -55,6 +55,10 @@ def pair_scorer_udf(kernel: str):
         fns = dict(K.RATIO_KERNELS)
         fns["jaro_winkler"] = lambda x, y: K.jaro_winkler(x, y) * 100.0
         fns["jaro"] = lambda x, y: K.jaro(x, y) * 100.0
+        # unit-scale (0..1) variant: composite scores that weight the raw
+        # similarity must skip the *100 → /100 round trip, which costs an
+        # ulp (0.8875 → 0.8874999…) and flips milli rounding at boundaries
+        fns["jaro_winkler_unit"] = K.jaro_winkler
         fns["levenshtein_sim"] = (
             lambda x, y: 100.0 * (1.0 - K.levenshtein(x, y) / max(len(x), len(y)))
             if (x or y)

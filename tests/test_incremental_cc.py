@@ -1,0 +1,112 @@
+"""Incremental cluster maintenance (operators/linkage.incremental_components):
+folding an edge batch into a converged clustering must be indistinguishable
+from re-running connected components over the union graph — the invariant
+that makes per-snapshot delta clustering sound at catalog scale."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from polyfuzz_spark.operators.linkage import (
+    connected_components,
+    incremental_components,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.key, r.representative, r.cluster_id)
+        for r in df.select("key", "representative", "cluster_id").collect()
+    )
+
+
+def _check_incremental(spark, old_pairs, new_pairs):
+    base = connected_components(_edges_df(spark, old_pairs))
+    got = incremental_components(base, _edges_df(spark, new_pairs))
+    want = connected_components(_edges_df(spark, old_pairs + new_pairs))
+    assert _rows(got) == _rows(want)
+
+
+def test_batch_merges_two_old_clusters(spark):
+    # {1,2} and {3,4} converge separately; the batch bridges them and adds 5
+    _check_incremental(
+        spark, [(1, 2), (3, 4)], [(2, 3), (4, 5)]
+    )
+
+
+def test_batch_of_only_new_nodes(spark):
+    _check_incremental(spark, [(1, 2)], [(7, 8), (8, 9)])
+
+
+def test_batch_inside_one_old_cluster_is_a_noop(spark):
+    # contracted edge is a self-loop; assignments must come back unchanged
+    _check_incremental(spark, [(1, 2), (2, 3)], [(1, 3)])
+
+
+def test_empty_batch(spark):
+    base = connected_components(_edges_df(spark, [(1, 2), (3, 4)]))
+    got = incremental_components(
+        base, spark.createDataFrame([], "src string, dst string")
+    )
+    assert _rows(got) == _rows(base)
+
+
+def test_chain_of_three_snapshots(spark):
+    # maintenance composes: (old + b1) + b2 == full recompute
+    old, b1, b2 = [(1, 2), (4, 5)], [(2, 3)], [(3, 4), (9, 1)]
+    s1 = incremental_components(
+        connected_components(_edges_df(spark, old)), _edges_df(spark, b1)
+    )
+    s2 = incremental_components(s1, _edges_df(spark, b2))
+    want = connected_components(_edges_df(spark, old + b1 + b2))
+    assert _rows(s2) == _rows(want)
+
+
+def test_fuzz_vs_full_recompute(spark):
+    rng = random.Random(1234)
+    for trial in range(5):
+        n = rng.randint(5, 40)
+        m = rng.randint(3, 60)
+        all_edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(m)
+        ]
+        all_edges = [(a, b) for a, b in all_edges if a != b]
+        cut = rng.randint(0, len(all_edges))
+        _check_incremental(spark, all_edges[:cut], all_edges[cut:])
+
+
+def test_blocking_quality_exact_values(spark):
+    from polyfuzz_spark.metrics import blocking_quality
+
+    pairs = lambda ps: spark.createDataFrame(
+        ps, "from_id long, to_id long"
+    )
+    # 10 records → 45 total pairs; 3 candidates (one reversed duplicate
+    # collapses), 4 truth pairs, 2 hits
+    cand = pairs([(1, 2), (2, 1), (3, 4), (5, 6)])
+    truth = pairs([(1, 2), (3, 4), (7, 8), (9, 1)])
+    row = blocking_quality(cand, truth, 10).collect()[0]
+    assert row.n_records == 10
+    assert row.n_candidate_pairs == 3
+    assert row.n_true_pairs == 4
+    assert row.n_true_in_candidates == 2
+    assert row.reduction_ratio_milli == 933  # (45-3)/45 = 0.9333
+    assert row.pairs_completeness_milli == 500
+    assert row.pairs_quality_milli == 667
+
+
+def test_blocking_quality_zero_denominators_yield_null(spark):
+    from polyfuzz_spark.metrics import blocking_quality
+
+    empty = spark.createDataFrame([], "from_id long, to_id long")
+    row = blocking_quality(empty, empty, 5).collect()[0]
+    assert row.n_candidate_pairs == 0 and row.n_true_pairs == 0
+    assert row.pairs_completeness_milli is None
+    assert row.pairs_quality_milli is None
+    assert row.reduction_ratio_milli == 1000
