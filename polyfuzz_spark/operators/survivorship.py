@@ -1,0 +1,92 @@
+"""Golden-record construction (survivorship): one canonical record per
+entity cluster, built field-by-field instead of keeping one member row.
+
+The reference stops at row-level grouping (``polyfuzz.py:342-370`` keeps a
+representative STRING per group); real entity resolution emits a merged
+record — longest/most-complete value for content fields, modal value for
+categorical fields, with provenance. This module adds that last stage over
+any (id, cluster) assignment table (dedup clusters, ER clusters,
+incremental-maintenance output alike).
+
+Scale shape: one equi-join of the corpus onto the assignments (bucketed
+layout keeps it shuffle-free on the big side), then per-rule map-side-
+combinable aggregations keyed on the cluster representative — argmax via
+``min(struct(-measure, tiebreak, payload))`` so each rule is ONE agg, no
+window over raw member rows, no per-cluster sort. Modal fields pay one
+extra (rep, value) pre-count agg each. Nothing here is driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def attach_clusters(
+    docs: DataFrame, assignments: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """docs + a ``rep`` column: the cluster representative, or the row's
+    own id for singletons (LEFT join — unmatched rows are 1-clusters,
+    matching dedup_corpus/dup_cluster_sizes semantics)."""
+    asg = assignments.select(id_col, F.col("rep").alias("_rep"))
+    return docs.join(asg, id_col, "left").withColumn(
+        "rep", F.coalesce(F.col("_rep"), F.col(id_col))
+    ).drop("_rep")
+
+
+def _argmax_struct(measure: Column, tiebreak: Column, *payload: Column):
+    """min(struct(-measure, tiebreak, payload...)) — deterministic argmax
+    (largest measure, then smallest tiebreak) as ONE map-side-combinable
+    aggregate."""
+    return F.min(F.struct(
+        (-measure).alias("_neg"), tiebreak.alias("_tie"),
+        *[p.alias(f"_p{i}") for i, p in enumerate(payload)]
+    ))
+
+
+def golden_records(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "key",
+    modal_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One golden record per cluster:
+
+    - ``rep_doc_id``     — cluster representative (min member id)
+    - ``n_members``      — cluster population (singletons = 1)
+    - ``longest_doc_id`` — provenance: the member whose ``content_col`` is
+      longest (tie → min id); its value survives as the golden content
+    - ``golden_sha``     — sha256 of the surviving content (the north-rule
+      per-row invariant, checkable against the source table)
+    - one column per ``modal_cols`` entry — the cluster-modal value
+      (tie → min value)
+
+    ``assignments``: (id_col, rep) pairs; rows absent from it are
+    singleton clusters of themselves.
+    """
+    members = attach_clusters(docs, assignments, id_col)
+    base = members.groupBy("rep").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        _argmax_struct(
+            F.length(content_col).cast("bigint"),
+            F.col(id_col),
+            F.sha2(F.col(content_col), 256),
+        ).alias("_pick"),
+    ).select(
+        F.col("rep").alias("rep_doc_id"),
+        "n_members",
+        F.col("_pick._tie").alias("longest_doc_id"),
+        F.col("_pick._p0").alias("golden_sha"),
+    )
+    for c in modal_cols:
+        counts = members.groupBy("rep", c).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        modal = counts.groupBy("rep").agg(
+            _argmax_struct(F.col("_cnt"), F.col(c)).alias("_m")
+        ).select(
+            F.col("rep").alias("rep_doc_id"), F.col("_m._tie").alias(c)
+        )
+        base = base.join(modal, "rep_doc_id")
+    return base

@@ -795,6 +795,89 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the golden record per entity cluster (the MDM-style
+    ER output the reference's row-level grouping stops short of): longest
+    member content survives with sha256 provenance, categorical fields
+    take the cluster-modal value, singletons are 1-clusters of themselves.
+    Same shared MinHash pair graph + CC tiers as dedup_corpus; every
+    survivorship rule is one map-side-combinable argmax-struct agg
+    (operators/survivorship.py — no window over raw member rows)."""
+    from .operators.linkage import connected_components
+    from .operators.survivorship import golden_records
+
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
+    edges = pairs.select(pad("from_id").alias("src"), pad("to_id").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("representative").cast("bigint").alias("rep"),
+    )
+    return golden_records(
+        docs, comp, id_col="doc_id", content_col="text",
+        modal_cols=("lang", "source"),
+    )
+
+
+# the dedup_corpus closure, extended with the three survivorship rules
+# (longest-content argmax, two modal fields), windows in SQL standing in
+# for the engine's single-agg argmax structs — same values either way
+ORACLE_GOLDEN_RECORDS = f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, length(text) - 2), i -> substring(text, i, 3)))) AS term
+  FROM documents WHERE length(text) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS from_id, b.doc_id AS to_id, count(*) AS c
+  FROM g a JOIN g b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT from_id, to_id FROM inter
+  JOIN sz sa ON from_id = sa.doc_id
+  JOIN sz sb ON to_id = sb.doc_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= {MINHASH_T}
+),
+sym AS (SELECT from_id AS a, to_id AS b FROM pairs
+        UNION SELECT to_id AS a, from_id AS b FROM pairs),
+reach(v, r) AS (
+  SELECT a AS v, a AS r FROM sym
+  UNION
+  SELECT s.b AS v, reach.r FROM sym s JOIN reach ON s.a = reach.v
+),
+rp AS (SELECT v, min(r) AS r FROM reach GROUP BY v),
+m AS (
+  SELECT d.doc_id, coalesce(rp.r, d.doc_id) AS rep, d.text, d.lang, d.source
+  FROM documents d LEFT JOIN rp ON d.doc_id = rp.v
+),
+base AS (SELECT rep, count(*) AS n_members FROM m GROUP BY rep),
+lng AS (SELECT rep, doc_id, text,
+               row_number() OVER (PARTITION BY rep
+                                  ORDER BY length(text) DESC, doc_id) AS rnk
+        FROM m),
+lgc AS (SELECT rep, lang, count(*) AS c FROM m GROUP BY 1, 2),
+lgp AS (SELECT rep, lang,
+               row_number() OVER (PARTITION BY rep
+                                  ORDER BY c DESC, lang) AS rnk
+        FROM lgc),
+srcc AS (SELECT rep, source, count(*) AS c FROM m GROUP BY 1, 2),
+srcp AS (SELECT rep, source,
+                row_number() OVER (PARTITION BY rep
+                                   ORDER BY c DESC, source) AS rnk
+         FROM srcc)
+SELECT base.rep AS rep_doc_id, base.n_members,
+       lng.doc_id AS longest_doc_id, sha256(lng.text) AS golden_sha,
+       lgp.lang, srcp.source
+FROM base
+JOIN lng ON base.rep = lng.rep AND lng.rnk = 1
+JOIN lgp ON base.rep = lgp.rep AND lgp.rnk = 1
+JOIN srcp ON base.rep = srcp.rep AND srcp.rnk = 1
+"""
+
+
 # the dedup_corpus closure CTE, extended two aggs: rep per doc (singletons
 # = own rep via the LEFT JOIN), size per rep, histogram per size
 ORACLE_DUP_CLUSTER_SIZES = f"""
@@ -2595,16 +2678,12 @@ ORACLE_CLUSTERS_INCREMENTAL = ORACLE_CLUSTERS
 MF_W_NAME, MF_W_BRAND, MF_W_SIZE = 0.6, 0.25, 0.15
 
 
-def q_multifield_match_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-attribute record linkage (Fellegi–Sunter-style linear score):
-    candidate records blocked on p_type (an equi-join, never a cross join
-    over the catalog), then a weighted field score — 0.6·JW(name) +
-    0.25·[brand equal] + 0.15·size-closeness — ranked per from-record on
-    the QUANTIZED milli score with a deterministic to_id tie-break. The
-    reference matches single string lists only; multi-field scoring is the
-    form real entity resolution takes (names + attributes), and every
-    field kernel here is individually oracle-proven (JW bit-exact vs
-    DuckDB's jaro_winkler_similarity)."""
+def _multifield_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_id, to_id, score_milli) for every blocked candidate pair:
+    odd-key records vs even-key records blocked on p_type, weighted field
+    score 0.6·JW(name) + 0.25·[brand equal] + 0.15·size-closeness,
+    quantized to integer milli. Shared by the top-1 match and the
+    Fellegi–Sunter verdict queries."""
     from .scorers.editdistance import pair_scorer_udf
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
@@ -2639,11 +2718,24 @@ def q_multifield_match_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(MF_W_BRAND) * brand_eq
         + F.lit(MF_W_SIZE) * size_sim
     )
-    pairs = (
+    return (
         f_side.repartition(n_part)
         .join(t_side, "p_type")
         .select("from_id", "to_id", _milli(score).alias("score_milli"))
     )
+
+
+def q_multifield_match_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-attribute record linkage (Fellegi–Sunter-style linear score):
+    candidate records blocked on p_type (an equi-join, never a cross join
+    over the catalog), then a weighted field score — 0.6·JW(name) +
+    0.25·[brand equal] + 0.15·size-closeness — ranked per from-record on
+    the QUANTIZED milli score with a deterministic to_id tie-break. The
+    reference matches single string lists only; multi-field scoring is the
+    form real entity resolution takes (names + attributes), and every
+    field kernel here is individually oracle-proven (JW bit-exact vs
+    DuckDB's jaro_winkler_similarity)."""
+    pairs = _multifield_pairs(spark, sf_dir)
     w = Window.partitionBy("from_id").orderBy(
         F.desc("score_milli"), F.asc("to_id")
     )
@@ -2654,8 +2746,30 @@ def q_multifield_match_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_MULTIFIELD_TOP1 = f"""
-WITH f AS (SELECT p_partkey AS from_id, p_name AS fn, p_brand AS fb,
+MF_UPPER, MF_LOWER = 850, 700
+
+
+def q_linkage_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Fellegi–Sunter DECISION stage: every blocked candidate pair
+    lands in one of three bands — score ≥ {MF_UPPER} milli auto-links,
+    {MF_LOWER}–{MF_UPPER} goes to the clerical-review queue, below
+    {MF_LOWER} is a non-link and never leaves the executor. The two-
+    threshold output (link set + bounded review queue) is what production
+    linkage ships to humans; thresholds come from the quantile/PR-curve
+    calibration verbs. Map-side classification over the shared blocked
+    pair scorer — no extra shuffle beyond the candidate join."""
+    pairs = _multifield_pairs(spark, sf_dir)
+    return pairs.where(F.col("score_milli") >= MF_LOWER).select(
+        "from_id",
+        "to_id",
+        "score_milli",
+        F.when(F.col("score_milli") >= MF_UPPER, F.lit("link"))
+        .otherwise(F.lit("review"))
+        .alias("verdict"),
+    )
+
+
+_MF_PAIRS_CTE = f"""f AS (SELECT p_partkey AS from_id, p_name AS fn, p_brand AS fb,
                   p_size AS fs, p_type
            FROM part WHERE p_partkey % 2 = 1),
 t AS (SELECT p_partkey AS to_id, p_name AS tn, p_brand AS tb,
@@ -2670,12 +2784,23 @@ pairs AS (
                          f" + {MF_W_SIZE} * (1.0 -"
                          " CAST(least(abs(fs - ts), 20) AS DOUBLE) / 20.0)")}
            AS score_milli
-  FROM f JOIN t USING (p_type)),
+  FROM f JOIN t USING (p_type))"""
+
+ORACLE_MULTIFIELD_TOP1 = f"""
+WITH {_MF_PAIRS_CTE},
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY from_id
                                ORDER BY score_milli DESC, to_id) AS rnk
   FROM pairs)
 SELECT from_id, to_id, score_milli FROM ranked WHERE rnk = 1
+"""
+
+ORACLE_LINKAGE_VERDICTS = f"""
+WITH {_MF_PAIRS_CTE}
+SELECT from_id, to_id, score_milli,
+       CASE WHEN score_milli >= {MF_UPPER} THEN 'link'
+            ELSE 'review' END AS verdict
+FROM pairs WHERE score_milli >= {MF_LOWER}
 """
 
 
@@ -2690,6 +2815,7 @@ def all_queries():
         "cluster_assignments_incremental": q_cluster_assignments_incremental,
         "blocking_quality": q_blocking_quality,
         "multifield_match_top1": q_multifield_match_top1,
+        "linkage_verdicts": q_linkage_verdicts,
         "score_pairs_jw": q_score_pairs_jw,
         "levenshtein_top1": q_levenshtein_top1,
         "token_sort_lev_top1": q_token_sort_lev_top1,
@@ -2701,6 +2827,7 @@ def all_queries():
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_corpus": q_dedup_corpus,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "golden_records": q_golden_records,
         "dedup_against": q_dedup_against,
         "dedup_corpus_embedding": q_dedup_corpus_embedding,
         "sample_stratified": q_sample_stratified,
@@ -2755,6 +2882,7 @@ def all_oracles():
         "cluster_assignments_incremental": ORACLE_CLUSTERS_INCREMENTAL,
         "blocking_quality": _oracle_blocking_quality(),
         "multifield_match_top1": ORACLE_MULTIFIELD_TOP1,
+        "linkage_verdicts": ORACLE_LINKAGE_VERDICTS,
         "score_pairs_jw": ORACLE_SCORE_PAIRS_JW,
         "levenshtein_top1": ORACLE_LEV_TOP1,
         "token_sort_lev_top1": _oracle_token_sort_lev_top1(),
@@ -2766,6 +2894,7 @@ def all_oracles():
         "minhash_near_dups": ORACLE_MINHASH,
         "dedup_corpus": ORACLE_DEDUP_CORPUS,
         "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
+        "golden_records": ORACLE_GOLDEN_RECORDS,
         "dedup_against": _oracle_dedup_against(),
         "dedup_corpus_embedding": ORACLE_DEDUP_CORPUS_EMB,
         "sample_stratified": _sample_oracle(),
