@@ -1,0 +1,94 @@
+"""Streaming cluster maintenance: a clustering that stays converged while
+match edges keep arriving.
+
+Connected components is iterative, which Structured Streaming's
+incremental model can't express natively — but it doesn't need to: each
+micro-batch is a DELTA, and ``incremental_components`` folds a delta into
+a converged clustering by contracting old clusters to supernodes (CC cost
+O(|batch|), exact — ``tests/test_incremental_cc.py``). So the stream runs
+via ``foreachBatch``: the assignments table IS the state, persisted as a
+versioned parquet chain ``{state_dir}/v=<batch_id>`` — batch ``b`` reads
+the newest version `< b` and overwrites its own, so checkpoint replay
+after a crash re-reads the same predecessor state and rewrites the same
+output: exactly-once by idempotence, the same recipe as the other
+foreachBatch gates here.
+
+At catalog scale the state table is big but each fold touches it through
+two equi-joins only (bucketed-by-key state layout serves them
+shuffle-free); the CC loop itself only ever sees the contracted batch
+graph. Nothing grows with stream history except the state table itself —
+one row per clustered key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.linkage import connected_components, incremental_components
+
+_STATE_SCHEMA = "key string, representative string, cluster_id bigint"
+
+
+def latest_state_version(state_dir: str, before: int | None = None) -> int | None:
+    """Newest committed state version, optionally restricted to versions
+    strictly below ``before`` (what a replayed batch must read)."""
+    try:
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("v=")
+        ]
+    except FileNotFoundError:
+        return None
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    return max(versions, default=None)
+
+
+def read_assignments(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current converged clustering (empty-but-typed before the first
+    batch commits)."""
+    v = latest_state_version(state_dir)
+    if v is None:
+        return spark.createDataFrame([], _STATE_SCHEMA)
+    return spark.read.parquet(f"{state_dir}/v={v}")
+
+
+def stream_cluster_maintenance(
+    edge_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Start the maintenance stream over ``edge_stream`` (src, dst rows).
+    Returns the StreamingQuery; read the converged clustering at any time
+    with ``read_assignments``.
+
+    Fold rule per micro-batch ``b``: state(< b) exists → fold the batch in
+    with ``incremental_components``; no prior state → this batch IS the
+    graph, plain ``connected_components``. Either way the result lands at
+    ``v=b`` with overwrite (idempotent under checkpoint replay)."""
+    spark = edge_stream.sparkSession
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        prev = latest_state_version(state_dir, before=int(batch_id))
+        batch = batch_df.select("src", "dst")
+        if prev is None:
+            out = connected_components(batch)
+        else:
+            state = spark.read.parquet(f"{state_dir}/v={prev}")
+            out = incremental_components(
+                state.select("key", "representative"), batch
+            )
+        out.write.mode("overwrite").parquet(f"{state_dir}/v={int(batch_id)}")
+
+    writer = (
+        edge_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,113 @@
+"""Streaming cluster maintenance (streaming/clustering.py): the converged
+assignments after a stream of edge micro-batches must equal one batch
+connected-components run over all edges, and the versioned-state fold must
+be idempotent under checkpoint replay."""
+
+from pyspark.sql import functions as F
+
+from polyfuzz_spark.operators.linkage import connected_components
+from polyfuzz_spark.streaming.clustering import (
+    latest_state_version,
+    read_assignments,
+    stream_cluster_maintenance,
+)
+
+EDGE_SCHEMA = "src string, dst string"
+
+
+def _rows(df):
+    return sorted(
+        (r.key, r.representative, r.cluster_id)
+        for r in df.select("key", "representative", "cluster_id").collect()
+    )
+
+
+def _write_batches(spark, in_dir, batches):
+    for i, pairs in enumerate(batches):
+        spark.createDataFrame(
+            [(str(a), str(b)) for a, b in pairs], EDGE_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+
+def test_stream_equals_batch_cc(spark, tmp_path):
+    # batch 1 builds two clusters, batch 2 bridges them, batch 3 brings a
+    # disjoint new cluster — the maintenance chain must converge to the
+    # same table as one CC over the union graph
+    batches = [
+        [(1, 2), (3, 4)],
+        [(2, 3), (4, 5)],
+        [(8, 9)],
+    ]
+    in_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ck_dir = str(tmp_path / "ck")
+    _write_batches(spark, in_dir, batches)
+    stream = (
+        spark.readStream.schema(EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_cluster_maintenance(stream, state_dir, ck_dir)
+    q.awaitTermination(120)
+
+    all_edges = spark.createDataFrame(
+        [(str(a), str(b)) for bt in batches for a, b in bt], EDGE_SCHEMA
+    )
+    assert _rows(read_assignments(spark, state_dir)) == _rows(
+        connected_components(all_edges)
+    )
+
+
+def test_late_batches_resume_from_committed_state(spark, tmp_path):
+    # second stream start on the same checkpoint picks up only the new
+    # file and folds it into the state the first run left behind
+    in_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ck_dir = str(tmp_path / "ck")
+    _write_batches(spark, in_dir, [[(1, 2), (3, 4)]])
+    stream = lambda: (
+        spark.readStream.schema(EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_cluster_maintenance(stream(), state_dir, ck_dir).awaitTermination(120)
+    v1 = latest_state_version(state_dir)
+    _write_batches(spark, in_dir, [[(2, 3)]])
+    stream_cluster_maintenance(stream(), state_dir, ck_dir).awaitTermination(120)
+    assert latest_state_version(state_dir) > v1
+    got = read_assignments(spark, state_dir)
+    want = connected_components(
+        spark.createDataFrame(
+            [("1", "2"), ("3", "4"), ("2", "3")], EDGE_SCHEMA
+        )
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_fold_is_replay_idempotent(spark, tmp_path):
+    # simulate a crash between state write and checkpoint commit: the
+    # replayed batch must read the same predecessor version and rewrite
+    # an identical v=<id> (exactly-once by idempotence)
+    from polyfuzz_spark.operators.linkage import incremental_components
+
+    state_dir = str(tmp_path / "state")
+    base = connected_components(
+        spark.createDataFrame([("1", "2")], EDGE_SCHEMA)
+    )
+    base.write.parquet(f"{state_dir}/v=0")
+    batch = spark.createDataFrame([("2", "3")], EDGE_SCHEMA)
+
+    def fold(batch_id):
+        prev = latest_state_version(state_dir, before=batch_id)
+        state = spark.read.parquet(f"{state_dir}/v={prev}")
+        out = incremental_components(
+            state.select("key", "representative"), batch
+        )
+        out.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+
+    fold(1)
+    first = _rows(spark.read.parquet(f"{state_dir}/v=1"))
+    fold(1)  # replay
+    assert _rows(spark.read.parquet(f"{state_dir}/v=1")) == first
+    # and the replay did NOT read its own output as input
+    assert latest_state_version(state_dir, before=1) == 0
