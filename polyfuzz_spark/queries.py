@@ -2582,13 +2582,14 @@ FROM sz LEFT JOIN rep ON sz.g = rep.v
 # Blocking-scheme evaluation + incremental cluster maintenance +
 # multi-attribute record linkage (round-3 ER-family additions)
 # --------------------------------------------------------------------------
-BQ_JACCARD_T = 0.5
+BQ_JACCARD_T = 0.7
 
 
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reduction ratio / pairs completeness / pairs quality (Christen TKDE
     2012) of the SimHash banding scheme, evaluated against exact
-    3-gram-Jaccard ≥ 0.5 truth pairs: the standard way to audit whether a
+    3-gram-Jaccard ≥ 0.7 truth pairs (0.5 is vacuous on this corpus — the
+    ~75-trigram shared vocabulary puts a third of ALL pairs over it): the standard way to audit whether a
     blocking configuration is recall-safe BEFORE committing a 10^12-file
     run to it. Both inputs reuse already-oracle-proven pair generators
     (md5-backed SimHash, exact gram-join Jaccard), so the composition has
@@ -2675,52 +2676,61 @@ def q_cluster_assignments_incremental(spark: SparkSession, sf_dir: str) -> DataF
 ORACLE_CLUSTERS_INCREMENTAL = ORACLE_CLUSTERS
 
 
-MF_W_NAME, MF_W_BRAND, MF_W_SIZE = 0.6, 0.25, 0.15
+MF_W_NAME, MF_W_SIZE, MF_W_PRICE = 0.6, 0.25, 0.15
 
 
 def _multifield_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(from_id, to_id, score_milli) for every blocked candidate pair:
-    odd-key records vs even-key records blocked on p_type, weighted field
-    score 0.6·JW(name) + 0.25·[brand equal] + 0.15·size-closeness,
-    quantized to integer milli. Shared by the top-1 match and the
-    Fellegi–Sunter verdict queries."""
+    odd-key records vs even-key records blocked on (p_type, p_brand) —
+    a COMPOUND key, because a 6-value key alone degenerates toward a
+    cross join as the catalog grows (6 blocks × 10k-a-side = 16.7M pairs
+    at sf0.1; the compound key cuts that 25×; a production run adds a
+    second blocking pass on another key for brand-typo recall, exactly
+    like the multi-scheme blocking the blocking_quality metric audits).
+    Weighted field score 0.6·JW(name) + 0.25·size-closeness +
+    0.15·price-closeness, quantized to integer milli. Shared by the
+    top-1 match and the Fellegi–Sunter verdict queries."""
     from .scorers.editdistance import pair_scorer_udf
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     f_side = part.where(F.col("p_partkey") % 2 == 1).select(
         F.col("p_partkey").alias("from_id"),
         F.col("p_name").alias("fn"),
-        F.col("p_brand").alias("fb"),
         F.col("p_size").alias("fs"),
+        F.col("p_retailprice").alias("fp"),
         "p_type",
+        "p_brand",
     )
     t_side = part.where(F.col("p_partkey") % 2 == 0).select(
         F.col("p_partkey").alias("to_id"),
         F.col("p_name").alias("tn"),
-        F.col("p_brand").alias("tb"),
         F.col("p_size").alias("ts"),
+        F.col("p_retailprice").alias("tp"),
         "p_type",
+        "p_brand",
     )
-    # spread the from-side so the blocked join (6 p_type groups) and the
-    # Python JW kernel parallelize past the group count
+    # spread the from-side so the blocked join and the Python JW kernel
+    # parallelize past the block count
     n_part = spark.sparkContext.defaultParallelism * 2
     # unit-scale kernel: the *100/100 round trip costs an ulp, which flips
     # the composite's milli rounding at .0005 boundaries (bit-exactness vs
     # DuckDB's jaro_winkler_similarity is otherwise preserved)
     jw = pair_scorer_udf("jaro_winkler_unit")(F.col("fn"), F.col("tn"))
-    brand_eq = (F.col("fb") == F.col("tb")).cast("double")
     size_sim = F.lit(1.0) - (
         F.least(F.abs(F.col("fs") - F.col("ts")), F.lit(20)).cast("double")
         / F.lit(20.0)
     )
+    price_sim = F.lit(1.0) - (
+        F.least(F.abs(F.col("fp") - F.col("tp")), F.lit(10.0)) / F.lit(10.0)
+    )
     score = (
         F.lit(MF_W_NAME) * jw
-        + F.lit(MF_W_BRAND) * brand_eq
         + F.lit(MF_W_SIZE) * size_sim
+        + F.lit(MF_W_PRICE) * price_sim
     )
     return (
         f_side.repartition(n_part)
-        .join(t_side, "p_type")
+        .join(t_side, ["p_type", "p_brand"])
         .select("from_id", "to_id", _milli(score).alias("score_milli"))
     )
 
@@ -2769,22 +2779,21 @@ def q_linkage_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MF_PAIRS_CTE = f"""f AS (SELECT p_partkey AS from_id, p_name AS fn, p_brand AS fb,
-                  p_size AS fs, p_type
+_MF_PAIRS_CTE = f"""f AS (SELECT p_partkey AS from_id, p_name AS fn,
+                  p_size AS fs, p_retailprice AS fp, p_type, p_brand
            FROM part WHERE p_partkey % 2 = 1),
-t AS (SELECT p_partkey AS to_id, p_name AS tn, p_brand AS tb,
-             p_size AS ts, p_type
+t AS (SELECT p_partkey AS to_id, p_name AS tn,
+             p_size AS ts, p_retailprice AS tp, p_type, p_brand
       FROM part WHERE p_partkey % 2 = 0),
 pairs AS (
   SELECT from_id, to_id,
          {MILLI.format(x=f"{MF_W_NAME} * jaro_winkler_similarity(fn, tn)"
-                         f" + {MF_W_BRAND} * (CASE WHEN fb = tb"
-                         " THEN CAST(1.0 AS DOUBLE)"
-                         " ELSE CAST(0.0 AS DOUBLE) END)"
                          f" + {MF_W_SIZE} * (1.0 -"
-                         " CAST(least(abs(fs - ts), 20) AS DOUBLE) / 20.0)")}
+                         " CAST(least(abs(fs - ts), 20) AS DOUBLE) / 20.0)"
+                         f" + {MF_W_PRICE} * (1.0 -"
+                         " least(abs(fp - tp), 10.0) / 10.0)")}
            AS score_milli
-  FROM f JOIN t USING (p_type))"""
+  FROM f JOIN t USING (p_type, p_brand))"""
 
 ORACLE_MULTIFIELD_TOP1 = f"""
 WITH {_MF_PAIRS_CTE},
