@@ -293,6 +293,19 @@ class ERPipeline(CheckpointedPlan):
                 "candidates", cands,
                 extra={"pairs_convention": "unordered"},
             )
+            # blocking audit for the lineage trail: reduction ratio from
+            # counts the manifests already carry (Christen's RR — what
+            # fraction of the n² pair space the blocking scheme pruned).
+            # Driver arithmetic only, no extra pass.
+            n_docs = json.loads(self._manifest("ingest").read_text())["rows"]
+            n_pairs = json.loads(
+                self._manifest("candidates").read_text()
+            )["rows"]
+            total = n_docs * (n_docs - 1) / 2
+            self._amend_manifest("candidates", {
+                "reduction_ratio": round(1 - n_pairs / total, 6)
+                if total else None,
+            })
         else:
             conv = json.loads(
                 self._manifest("candidates").read_text()

@@ -76,6 +76,15 @@ def test_pipeline_f1_and_resume(spark, tmp_path):
     assert sum(lineage.values()) == mf["rows"]
     assert all(p.endswith(".parquet") for p in lineage)
 
+    # the candidates manifest audits its own blocking scheme: reduction
+    # ratio recomputed exactly from the manifest counts
+    cmf = json.loads((pipe._manifest("candidates")).read_text())
+    total = n_ingest * (n_ingest - 1) / 2
+    assert cmf["reduction_ratio"] == round(1 - cmf["rows"] / total, 6)
+    assert cmf["reduction_ratio"] > 0.5  # blocking actually blocked
+    # (the 375-doc test corpus is near-dup-dense by design; at real corpus
+    # sizes RR sits near 1 — 0.999998 at the 1.25M-doc scaling legs)
+
 
 def test_resume_refuses_ordered_pairs_run_dir(spark, tmp_path):
     """A run_dir checkpointed before the unordered-pairs convention (its
