@@ -243,7 +243,11 @@ def incremental_components(
 
     Returns the same (key, representative, cluster_id) table a full
     ``connected_components(old_edges ∪ new_edges)`` would — exact, not
-    approximate — because contraction-by-min preserves the global min:
+    approximate (one documented carve-out: a brand-new node whose ONLY
+    batch edge is a pure self-edge is dropped here but would appear as a
+    singleton row in the full recompute; real match stages never emit
+    self-pairs, per the contract above) — because
+    contraction-by-min preserves the global min:
     each merged family's min is the min over its old representatives
     (each already the min of its members) and the new keys
     (``tests/test_incremental_cc.py`` fuzzes this equivalence).

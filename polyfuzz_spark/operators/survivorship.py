@@ -64,23 +64,34 @@ def golden_records(
 
     ``assignments``: (id_col, rep) pairs; rows absent from it are
     singleton clusters of themselves.
+
+    NULL semantics (Spark's ``min(struct(...))`` sorts nulls FIRST, the
+    opposite of SQL's default NULLS LAST, so both rules neutralize them
+    explicitly): a NULL content never beats real content (its length
+    coalesces to −1; an all-null cluster falls back to the min-id member
+    with a NULL golden_sha), and NULL categorical values are excluded
+    from the modal vote (an all-null cluster gets a NULL modal value via
+    the left join).
     """
     members = attach_clusters(docs, assignments, id_col)
     base = members.groupBy("rep").agg(
         F.count(F.lit(1)).alias("n_members"),
         _argmax_struct(
-            F.length(content_col).cast("bigint"),
+            F.coalesce(F.length(content_col).cast("bigint"), F.lit(-1)),
             F.col(id_col),
-            F.sha2(F.col(content_col), 256),
+            F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256),
         ).alias("_pick"),
+        F.max(F.length(content_col)).alias("_has_content"),
     ).select(
         F.col("rep").alias("rep_doc_id"),
         "n_members",
         F.col("_pick._tie").alias("longest_doc_id"),
-        F.col("_pick._p0").alias("golden_sha"),
+        F.when(
+            F.col("_has_content").isNotNull(), F.col("_pick._p0")
+        ).alias("golden_sha"),
     )
     for c in modal_cols:
-        counts = members.groupBy("rep", c).agg(
+        counts = members.where(F.col(c).isNotNull()).groupBy("rep", c).agg(
             F.count(F.lit(1)).alias("_cnt")
         )
         modal = counts.groupBy("rep").agg(
@@ -88,5 +99,5 @@ def golden_records(
         ).select(
             F.col("rep").alias("rep_doc_id"), F.col("_m._tie").alias(c)
         )
-        base = base.join(modal, "rep_doc_id")
+        base = base.join(modal, "rep_doc_id", "left")
     return base

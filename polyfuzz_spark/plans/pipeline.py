@@ -293,17 +293,18 @@ class ERPipeline(CheckpointedPlan):
                 "candidates", cands,
                 extra={"pairs_convention": "unordered"},
             )
-            # blocking audit for the lineage trail: reduction ratio from
-            # counts the manifests already carry (Christen's RR — what
-            # fraction of the n² pair space the blocking scheme pruned).
-            # Driver arithmetic only, no extra pass.
+        # blocking audit for the lineage trail: reduction ratio from counts
+        # the manifests already carry (Christen's RR — what fraction of the
+        # n² pair space the blocking scheme pruned). Driver arithmetic
+        # only, no extra pass; runs on resume too, so a run_dir whose
+        # candidates stage committed before this field existed (or crashed
+        # between checkpoint and amend) is backfilled.
+        cand_mf = json.loads(self._manifest("candidates").read_text())
+        if "reduction_ratio" not in cand_mf:
             n_docs = json.loads(self._manifest("ingest").read_text())["rows"]
-            n_pairs = json.loads(
-                self._manifest("candidates").read_text()
-            )["rows"]
             total = n_docs * (n_docs - 1) / 2
             self._amend_manifest("candidates", {
-                "reduction_ratio": round(1 - n_pairs / total, 6)
+                "reduction_ratio": round(1 - cand_mf["rows"] / total, 6)
                 if total else None,
             })
         else:

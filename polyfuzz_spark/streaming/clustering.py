@@ -17,18 +17,35 @@ At catalog scale the state table is big but each fold touches it through
 two equi-joins only (bucketed-by-key state layout serves them
 shuffle-free); the CC loop itself only ever sees the contracted batch
 graph. Nothing grows with stream history except the state table itself —
-one row per clustered key.
+one row per clustered key: versions older than ``retain_versions`` are
+pruned after each successful fold (the retention window covers the
+crash-replay case, which only ever re-reads the newest version below the
+replayed batch id).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.linkage import connected_components, incremental_components
 
 _STATE_SCHEMA = "key string, representative string, cluster_id bigint"
+
+
+def _prune_versions(state_dir: str, retain: int) -> None:
+    try:
+        versions = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("v=")
+        )
+    except FileNotFoundError:
+        return
+    for v in versions[:-retain] if retain > 0 else []:
+        shutil.rmtree(f"{state_dir}/v={v}", ignore_errors=True)
 
 
 def latest_state_version(state_dir: str, before: int | None = None) -> int | None:
@@ -62,6 +79,7 @@ def stream_cluster_maintenance(
     checkpoint_dir: str,
     *,
     available_now: bool = True,
+    retain_versions: int = 2,
 ):
     """Start the maintenance stream over ``edge_stream`` (src, dst rows).
     Returns the StreamingQuery; read the converged clustering at any time
@@ -70,7 +88,11 @@ def stream_cluster_maintenance(
     Fold rule per micro-batch ``b``: state(< b) exists → fold the batch in
     with ``incremental_components``; no prior state → this batch IS the
     graph, plain ``connected_components``. Either way the result lands at
-    ``v=b`` with overwrite (idempotent under checkpoint replay)."""
+    ``v=b`` with overwrite (idempotent under checkpoint replay), and
+    versions older than the newest ``retain_versions`` are pruned — ≥ 2
+    keeps the replay window safe (a replayed batch reads the newest
+    version BELOW its id, i.e. at most one behind the newest on disk);
+    pass 0 to keep the full audit chain."""
     spark = edge_stream.sparkSession
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -84,6 +106,8 @@ def stream_cluster_maintenance(
                 state.select("key", "representative"), batch
             )
         out.write.mode("overwrite").parquet(f"{state_dir}/v={int(batch_id)}")
+        if retain_versions:
+            _prune_versions(state_dir, max(int(retain_versions), 2))
 
     writer = (
         edge_stream.writeStream.foreachBatch(_fold)

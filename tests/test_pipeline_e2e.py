@@ -85,6 +85,14 @@ def test_pipeline_f1_and_resume(spark, tmp_path):
     # (the 375-doc test corpus is near-dup-dense by design; at real corpus
     # sizes RR sits near 1 — 0.999998 at the 1.25M-doc scaling legs)
 
+    # and the audit backfills: a run_dir whose candidates manifest predates
+    # the field (or crashed before the amend) gains it on the next run
+    rr = cmf.pop("reduction_ratio")
+    pipe._manifest("candidates").write_text(json.dumps(cmf))
+    ERPipeline(spark, run_dir, CFG).run(corpus=None)
+    cmf2 = json.loads((pipe._manifest("candidates")).read_text())
+    assert cmf2["reduction_ratio"] == rr
+
 
 def test_resume_refuses_ordered_pairs_run_dir(spark, tmp_path):
     """A run_dir checkpointed before the unordered-pairs convention (its

@@ -56,6 +56,12 @@ def test_stream_equals_batch_cc(spark, tmp_path):
     assert _rows(read_assignments(spark, state_dir)) == _rows(
         connected_components(all_edges)
     )
+    # the version chain is pruned to the retention window (default 2):
+    # state storage stays O(state), not O(batches × state)
+    import os
+
+    versions = [d for d in os.listdir(state_dir) if d.startswith("v=")]
+    assert len(versions) <= 2
 
 
 def test_late_batches_resume_from_committed_state(spark, tmp_path):

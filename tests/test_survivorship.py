@@ -74,3 +74,32 @@ def test_no_window_over_raw_members_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_null_content_never_beats_real_content(spark):
+    docs = _docs(spark, [
+        (1, None, "py", "gh"),
+        (2, "a", "py", "gh"),
+    ])
+    asg = _asg(spark, [(1, 1), (2, 1)])
+    row = golden_records(
+        docs, asg, content_col="key", modal_cols=("lang",)
+    ).collect()[0]
+    assert row.longest_doc_id == 2
+    import hashlib
+
+    assert row.golden_sha == hashlib.sha256(b"a").hexdigest()
+
+
+def test_all_null_cluster_degrades_gracefully(spark):
+    docs = _docs(spark, [
+        (3, None, None, "gh"),
+        (4, None, None, "gl"),
+    ])
+    asg = _asg(spark, [(3, 3), (4, 3)])
+    row = golden_records(
+        docs, asg, content_col="key", modal_cols=("lang",)
+    ).collect()[0]
+    assert row.longest_doc_id == 3  # min-id fallback
+    assert row.golden_sha is None
+    assert row.lang is None  # no non-null votes -> left-join null
