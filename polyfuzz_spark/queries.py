@@ -2821,6 +2821,68 @@ ranked AS (
 SELECT from_id, to_id, score_milli FROM ranked WHERE rnk = 1
 """
 
+def q_monge_elkan_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monge–Elkan hybrid top-1 (Monge & Elkan, KDD 1996): per query
+    token, the best Jaro-Winkler match among the candidate's tokens,
+    averaged — the classic multi-token-name scorer that survives token
+    reordering where whole-string JW collapses. Same compound
+    (p_type, p_brand) blocking as the multifield family; Arrow-batched
+    pair kernel, ranked on the QUANTIZED milli score. Exact DuckDB twin
+    via list lambdas (bit-exact: sequential list-order sum both sides)."""
+    from .scorers.editdistance import pair_scorer_udf
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    f_side = part.where(F.col("p_partkey") % 2 == 1).select(
+        F.col("p_partkey").alias("from_id"),
+        F.col("p_name").alias("fn"),
+        "p_type",
+        "p_brand",
+    )
+    t_side = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("to_id"),
+        F.col("p_name").alias("tn"),
+        "p_type",
+        "p_brand",
+    )
+    n_part = spark.sparkContext.defaultParallelism * 2
+    me = pair_scorer_udf("monge_elkan")(F.col("fn"), F.col("tn"))
+    pairs = (
+        f_side.repartition(n_part)
+        .join(t_side, ["p_type", "p_brand"])
+        .select("from_id", "to_id", _milli(me).alias("me_milli"))
+    )
+    w = Window.partitionBy("from_id").orderBy(
+        F.desc("me_milli"), F.asc("to_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("from_id", "to_id", "me_milli")
+    )
+
+
+_ME_EXPR = (
+    "list_avg(list_transform(string_split(fn, ' '), ta -> "
+    "list_max(list_transform(string_split(tn, ' '), tb -> "
+    "jaro_winkler_similarity(ta, tb)))))"
+)
+
+ORACLE_MONGE_ELKAN_TOP1 = f"""
+WITH f AS (SELECT p_partkey AS from_id, p_name AS fn, p_type, p_brand
+           FROM part WHERE p_partkey % 2 = 1),
+t AS (SELECT p_partkey AS to_id, p_name AS tn, p_type, p_brand
+      FROM part WHERE p_partkey % 2 = 0),
+pairs AS (
+  SELECT from_id, to_id, {MILLI.format(x=_ME_EXPR)} AS me_milli
+  FROM f JOIN t USING (p_type, p_brand)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY from_id
+                               ORDER BY me_milli DESC, to_id) AS rnk
+  FROM pairs)
+SELECT from_id, to_id, me_milli FROM ranked WHERE rnk = 1
+"""
+
+
 ORACLE_LINKAGE_VERDICTS = f"""
 WITH {_MF_PAIRS_CTE}
 SELECT from_id, to_id, score_milli,
@@ -2842,6 +2904,7 @@ def all_queries():
         "blocking_quality": q_blocking_quality,
         "multifield_match_top1": q_multifield_match_top1,
         "linkage_verdicts": q_linkage_verdicts,
+        "monge_elkan_top1": q_monge_elkan_top1,
         "score_pairs_jw": q_score_pairs_jw,
         "levenshtein_top1": q_levenshtein_top1,
         "token_sort_lev_top1": q_token_sort_lev_top1,
@@ -2909,6 +2972,7 @@ def all_oracles():
         "blocking_quality": _oracle_blocking_quality(),
         "multifield_match_top1": ORACLE_MULTIFIELD_TOP1,
         "linkage_verdicts": ORACLE_LINKAGE_VERDICTS,
+        "monge_elkan_top1": ORACLE_MONGE_ELKAN_TOP1,
         "score_pairs_jw": ORACLE_SCORE_PAIRS_JW,
         "levenshtein_top1": ORACLE_LEV_TOP1,
         "token_sort_lev_top1": _oracle_token_sort_lev_top1(),

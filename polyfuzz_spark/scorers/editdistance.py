@@ -59,6 +59,7 @@ def pair_scorer_udf(kernel: str):
         # similarity must skip the *100 → /100 round trip, which costs an
         # ulp (0.8875 → 0.8874999…) and flips milli rounding at boundaries
         fns["jaro_winkler_unit"] = K.jaro_winkler
+        fns["monge_elkan"] = K.monge_elkan  # unit-scale by definition
         fns["levenshtein_sim"] = (
             lambda x, y: 100.0 * (1.0 - K.levenshtein(x, y) / max(len(x), len(y)))
             if (x or y)

@@ -238,6 +238,34 @@ def jaro(a: str, b: str) -> float:
     return (m / la + m / lb + (m - t) / m) / 3.0
 
 
+def monge_elkan(a: str, b: str) -> float:
+    """Monge–Elkan hybrid similarity, 0–1 (Monge & Elkan, KDD 1996): the
+    mean over a's whitespace tokens of the best Jaro-Winkler match among
+    b's tokens — the classic scorer for multi-token names where tokens
+    align out of order ('red widget' vs 'widget, red-ish'). Asymmetric by
+    definition (a is the query side); callers wanting symmetry take
+    max(me(a,b), me(b,a)).
+
+    Oracle twin (DuckDB, bit-exact — sequential sum in list order both
+    sides): ``list_avg(list_transform(string_split(a,' '), ta ->
+    list_max(list_transform(string_split(b,' '), tb ->
+    jaro_winkler_similarity(ta, tb)))))``. NOTE: DuckDB's string_split
+    keeps empty tokens from repeated spaces; inputs are single-spaced in
+    the contract queries (and ``str.split()`` here drops empties — the
+    twin holds on single-spaced text).
+    """
+    ta = a.split()
+    if not ta:
+        return 0.0
+    tb = b.split()
+    if not tb:
+        return 0.0
+    total = 0.0
+    for x in ta:
+        total += max(jaro_winkler(x, y) for y in tb)
+    return total / len(ta)
+
+
 def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1,
                  boost_threshold: float = 0.7) -> float:
     """Jaro-Winkler, 0–1 (oracle: DuckDB ``jaro_winkler_similarity``)."""

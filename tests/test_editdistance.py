@@ -146,3 +146,23 @@ def test_rapidfuzz_self_match_no_mutation(spark):
     ).toPandas()
     assert len(out) == 3
     assert (out.from_key != out.to_key).all()
+
+
+def test_monge_elkan_reordering_and_asymmetry():
+    """ME survives token reordering (whole-string JW collapses), is 1.0 on
+    permuted token sets, asymmetric by definition, and 0.0 on empty."""
+    from polyfuzz_spark.scorers.kernels import jaro_winkler, monge_elkan
+
+    assert monge_elkan("red widget", "widget red") == 1.0
+    assert jaro_winkler("red widget", "widget red") < 1.0
+    # a ⊂ b: every a-token matches perfectly → me(a,b)=1; me(b,a) < 1
+    assert monge_elkan("red", "red widget") == 1.0
+    assert monge_elkan("red widget", "red") < 1.0
+    assert monge_elkan("", "anything") == 0.0
+    assert monge_elkan("anything", "") == 0.0
+    # mean of per-token best matches, sequential order
+    got = monge_elkan("red bolt", "red widget")
+    want = (1.0 + max(
+        jaro_winkler("bolt", "red"), jaro_winkler("bolt", "widget")
+    )) / 2
+    assert got == want
