@@ -86,6 +86,12 @@ NO_NESTED_LOOP = [
     # tests/test_lm.py::test_scoring_plan_broadcasts_model and
     # tests/test_dsir.py::test_plan_shapes instead
     "bpe_pair_counts",
+    # round-3 ER-family additions: blocked equi-joins + aggs throughout.
+    # blocking_quality is absent by intent: its final projection
+    # crossJoins four ONE-ROW aggregate tables (deliberate broadcast
+    # nested loop over single rows, same class as the lm_* totals).
+    "multifield_match_top1", "linkage_verdicts", "monge_elkan_top1",
+    "golden_records", "cluster_assignments_incremental",
 ]
 
 
