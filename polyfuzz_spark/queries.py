@@ -2697,8 +2697,6 @@ def _multifield_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-1 match and the Fellegi–Sunter verdict queries, so the scored
     table is localCheckpointed once per (session, sf_dir) — the same
     materialized-intermediate discipline as _RANKED_CACHE."""
-    from .scorers.editdistance import pair_scorer_udf
-
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _MF_CACHE.get(key)
     if hit is not None:
@@ -2721,29 +2719,24 @@ def _multifield_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type",
         "p_brand",
     )
-    # spread the from-side so the blocked join and the Python JW kernel
-    # parallelize past the block count
-    n_part = spark.sparkContext.defaultParallelism * 2
-    # unit-scale kernel: the *100/100 round trip costs an ulp, which flips
-    # the composite's milli rounding at .0005 boundaries (bit-exactness vs
-    # DuckDB's jaro_winkler_similarity is otherwise preserved)
-    jw = pair_scorer_udf("jaro_winkler_unit")(F.col("fn"), F.col("tn"))
-    size_sim = F.lit(1.0) - (
-        F.least(F.abs(F.col("fs") - F.col("ts")), F.lit(20)).cast("double")
-        / F.lit(20.0)
-    )
-    price_sim = F.lit(1.0) - (
-        F.least(F.abs(F.col("fp") - F.col("tp")), F.lit(10.0)) / F.lit(10.0)
-    )
-    score = (
-        F.lit(MF_W_NAME) * jw
-        + F.lit(MF_W_SIZE) * size_sim
-        + F.lit(MF_W_PRICE) * price_sim
+    # the reusable operator builds the same plan: pre-spread from-side,
+    # compound-key equi-join, declaration-order weighted sum (the
+    # jaro_winkler_unit kernel skips the *100/100 ulp round trip that
+    # flips milli rounding at .0005 boundaries)
+    from .operators.multifield import FieldSim, multifield_score
+
+    scored = multifield_score(
+        f_side, t_side, ["p_type", "p_brand"],
+        [
+            FieldSim("fn", "tn", MF_W_NAME, "jaro_winkler_unit"),
+            FieldSim("fs", "ts", MF_W_SIZE, "numeric", scale=20),
+            FieldSim("fp", "tp", MF_W_PRICE, "numeric", scale=10.0),
+        ],
     )
     pairs = (
-        f_side.repartition(n_part)
-        .join(t_side, ["p_type", "p_brand"])
-        .select("from_id", "to_id", _milli(score).alias("score_milli"))
+        scored.select(
+            "from_id", "to_id", _milli(F.col("score")).alias("score_milli")
+        )
         .localCheckpoint(eager=True)
     )
     _MF_CACHE.clear()  # keep exactly one materialized table alive
