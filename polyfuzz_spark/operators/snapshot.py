@@ -254,3 +254,38 @@ def append_to_snapshot_index(
     with open(os.path.join(path, _MANIFEST), "w") as fh:
         json.dump(mf, fh, indent=1)
     return mf
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """What changed between two corpus snapshots: (id, status) with status
+    ∈ {'added', 'removed', 'changed'} — unchanged rows are omitted (at
+    catalog scale they are ~all rows; emitting them would make the diff
+    O(corpus) instead of O(delta)). The incremental-ingest planner's
+    input: only added+changed rows need scrubbing/dedup/indexing, and
+    removed ids need tombstoning downstream.
+
+    Content equality is sha256 on ``content_col`` (the same per-row
+    invariant the pipelines checkpoint), so the compare never ships
+    content across the shuffle — one full-outer equi-join on the id
+    carrying a 64-hex digest per side. Bucketed-by-id snapshot layouts
+    serve the join shuffle-free.
+    """
+    o = old.select(
+        F.col(id_col), F.sha2(F.col(content_col), 256).alias("_osha")
+    )
+    n = new.select(
+        F.col(id_col), F.sha2(F.col(content_col), 256).alias("_nsha")
+    )
+    joined = o.join(n, id_col, "full_outer")
+    return joined.select(
+        id_col,
+        F.when(F.col("_osha").isNull(), F.lit("added"))
+        .when(F.col("_nsha").isNull(), F.lit("removed"))
+        .when(F.col("_osha") != F.col("_nsha"), F.lit("changed"))
+        .alias("status"),
+    ).where(F.col("status").isNotNull())

@@ -795,6 +795,70 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNAP_SALT2 = "snapshot-v2"
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest planner's input: (id, added/removed/changed)
+    between two corpus snapshots — only the delta needs scrubbing, dedup
+    and indexing; removed ids need tombstoning downstream. Snapshots are
+    two overlapping md5-keyed 80% draws (independent salts) with a
+    deterministic content revision planted on every 7th shared doc.
+    One full-outer equi-join on the id shipping sha256 digests, never
+    content (operators/snapshot.py::snapshot_diff); unchanged rows — the
+    overwhelming majority at catalog scale — are omitted, keeping the
+    output O(delta)."""
+    from .functions.sampling import deterministic_uniform
+    from .operators.snapshot import snapshot_diff
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    in_old = deterministic_uniform("doc_id", SNAP_SALT) < F.lit(
+        SNAP_CORPUS_FRAC
+    )
+    in_new = deterministic_uniform("doc_id", SNAP_SALT2) < F.lit(
+        SNAP_CORPUS_FRAC
+    )
+    old = d.where(in_old)
+    new = d.where(in_new).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" rev2")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, id_col="doc_id", content_col="text")
+
+
+def _oracle_snapshot_diff() -> str:
+    from .functions.sampling import sample_oracle_predicate
+
+    pa = sample_oracle_predicate(
+        "doc_id", str(SNAP_CORPUS_FRAC), salt=SNAP_SALT
+    )
+    pb = sample_oracle_predicate(
+        "doc_id", str(SNAP_CORPUS_FRAC), salt=SNAP_SALT2
+    )
+    return f"""
+WITH o AS (SELECT doc_id, text FROM documents WHERE {pa}),
+n AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+               AS text
+      FROM documents WHERE {pb}),
+j AS (
+  SELECT doc_id, o.text AS ot, n.text AS nt
+  FROM o FULL OUTER JOIN n USING (doc_id)
+),
+d AS (
+  SELECT doc_id,
+         CASE WHEN ot IS NULL THEN 'added'
+              WHEN nt IS NULL THEN 'removed'
+              WHEN ot <> nt THEN 'changed' END AS status
+  FROM j
+)
+SELECT doc_id, status FROM d WHERE status IS NOT NULL
+"""
+
+
 def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship — the golden record per entity cluster (the MDM-style
     ER output the reference's row-level grouping stops short of): longest
@@ -2911,6 +2975,7 @@ def all_queries():
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "golden_records": q_golden_records,
         "dedup_against": q_dedup_against,
+        "snapshot_diff": q_snapshot_diff,
         "dedup_corpus_embedding": q_dedup_corpus_embedding,
         "sample_stratified": q_sample_stratified,
         "mixture_resample": q_mixture_resample,
@@ -2979,6 +3044,7 @@ def all_oracles():
         "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
         "golden_records": ORACLE_GOLDEN_RECORDS,
         "dedup_against": _oracle_dedup_against(),
+        "snapshot_diff": _oracle_snapshot_diff(),
         "dedup_corpus_embedding": ORACLE_DEDUP_CORPUS_EMB,
         "sample_stratified": _sample_oracle(),
         "mixture_resample": _mixture_oracle(),
