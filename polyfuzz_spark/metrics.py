@@ -191,3 +191,64 @@ def blocking_quality(
             ).alias("pairs_quality_milli"),
         )
     )
+
+
+def bcubed(
+    assignments: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    label_col: str = "label",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) — the standard
+    per-record clustering evaluation alongside pairwise F1: for each
+    record, precision = |cluster ∩ its label's records| / |cluster| and
+    recall = the same intersection over the label size, averaged over all
+    records.
+
+    Emitted in EXACT INTEGER MICRO units (house integer-exactness rule —
+    float averaging sums in partition order, which is not reproducible
+    across engines): per (cluster, label) cell, the identity
+    Σ_records m/|C| = Σ_cells m²/|C| is computed as
+    ``(m·m·1_000_000) DIV cell_denominator`` — integer division both
+    engines implement identically — then summed (integers, order-free)
+    and divided by N. Each DIV floors ≤1 micro per cell; the contract IS
+    this quantized definition, mirrored verbatim in the SQL twin.
+
+    One join + three map-side-combined aggs; nothing driver-side. One row:
+    (n_records, bcubed_precision_micro, bcubed_recall_micro,
+    bcubed_f1_micro).
+    """
+    m = assignments.select(
+        F.col(id_col), F.col(cluster_col).alias("_c")
+    ).join(
+        labels.select(F.col(id_col), F.col(label_col).alias("_l")), id_col
+    )
+    cells = m.groupBy("_c", "_l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m")
+    )
+    csz = m.groupBy("_c").agg(F.count(F.lit(1)).cast("bigint").alias("_cn"))
+    lsz = m.groupBy("_l").agg(F.count(F.lit(1)).cast("bigint").alias("_ln"))
+    terms = (
+        cells.join(csz, "_c")
+        .join(lsz, "_l")
+        .select(
+            F.expr("(_m * _m * 1000000) DIV _cn").alias("_tp"),
+            F.expr("(_m * _m * 1000000) DIV _ln").alias("_tr"),
+            "_m",
+        )
+    )
+    agg = terms.agg(
+        F.sum("_tp").alias("_sp"),
+        F.sum("_tr").alias("_sr"),
+        F.sum("_m").cast("bigint").alias("n_records"),
+    )
+    return agg.select(
+        "n_records",
+        F.expr("_sp DIV n_records").alias("bcubed_precision_micro"),
+        F.expr("_sr DIV n_records").alias("bcubed_recall_micro"),
+        F.expr(
+            "(2 * (_sp DIV n_records) * (_sr DIV n_records)) "
+            "DIV ((_sp DIV n_records) + (_sr DIV n_records))"
+        ).alias("bcubed_f1_micro"),
+    )

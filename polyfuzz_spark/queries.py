@@ -2167,6 +2167,89 @@ def q_dedup_corpus_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_DEDUP_T = 0.4
 
+
+def q_bcubed_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of the embedding
+    near-dup clustering against the embeddings table's labels — the
+    standard per-record ER evaluation alongside pairwise F1 (B³ penalizes
+    giant merged clusters the way pairwise cannot). Exact INTEGER MICRO
+    arithmetic throughout (per-cell integer division — float averaging
+    sums in partition order and is not engine-reproducible); singletons
+    are their own clusters. metrics.bcubed is one join + three map-side-
+    combined aggs, no driver collect."""
+    from .metrics import bcubed
+    from .operators.dense_cosine import embedding_near_dup_pairs
+    from .operators.linkage import connected_components
+
+    e = _embs(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(
+        e, threshold=EMB_DEDUP_T, lsh_conf={"n_planes": 4, "n_tables": 10}
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
+    comp = connected_components(
+        pairs.select(pad("from_id").alias("src"), pad("to_id").alias("dst"))
+    ).select(
+        F.col("key").cast("bigint").alias("vec_id"),
+        F.col("representative").cast("bigint").alias("rep"),
+    )
+    asg = (
+        e.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("rep", F.col("vec_id")).alias("cluster")
+        )
+    )
+    return bcubed(
+        asg, e.select("vec_id", "label"),
+        id_col="vec_id", cluster_col="cluster", label_col="label",
+    )
+
+
+ORACLE_BCUBED_EMB = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS from_id, b.vec_id AS to_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000 + 0.5) AS BIGINT)
+        >= {int(EMB_DEDUP_T * 1000)}
+),
+sym AS (SELECT from_id AS a, to_id AS b FROM pairs
+        UNION SELECT to_id AS a, from_id AS b FROM pairs),
+reach(v, r) AS (
+  SELECT a AS v, a AS r FROM sym
+  UNION
+  SELECT s.b AS v, reach.r FROM sym s JOIN reach ON s.a = reach.v
+),
+rep AS (SELECT v, min(r) AS r FROM reach GROUP BY v),
+m AS (
+  SELECT d.vec_id, coalesce(rep.r, d.vec_id) AS c, d.label AS lab
+  FROM embeddings d LEFT JOIN rep ON d.vec_id = rep.v
+),
+cells AS (SELECT c, lab, count(*) AS mm FROM m GROUP BY 1, 2),
+csz AS (SELECT c, count(*) AS cn FROM m GROUP BY 1),
+lsz AS (SELECT lab, count(*) AS labn FROM m GROUP BY 1),
+terms AS (
+  SELECT (mm * mm * 1000000) // cn AS tp,
+         (mm * mm * 1000000) // labn AS tr,
+         mm
+  FROM cells JOIN csz USING (c) JOIN lsz USING (lab)
+),
+agg AS (
+  SELECT CAST(sum(tp) AS BIGINT) AS sp, CAST(sum(tr) AS BIGINT) AS sr,
+         CAST(sum(mm) AS BIGINT) AS n
+  FROM terms
+)
+SELECT n AS n_records,
+       sp // n AS bcubed_precision_micro,
+       sr // n AS bcubed_recall_micro,
+       (2 * (sp // n) * (sr // n)) // ((sp // n) + (sr // n))
+         AS bcubed_f1_micro
+FROM agg
+"""
+
+
 ORACLE_DEDUP_CORPUS_EMB = f"""
 WITH RECURSIVE e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2977,6 +3060,7 @@ def all_queries():
         "dedup_against": q_dedup_against,
         "snapshot_diff": q_snapshot_diff,
         "dedup_corpus_embedding": q_dedup_corpus_embedding,
+        "bcubed_embedding_clusters": q_bcubed_embedding_clusters,
         "sample_stratified": q_sample_stratified,
         "mixture_resample": q_mixture_resample,
         "train_test_split": q_train_test_split,
@@ -3046,6 +3130,7 @@ def all_oracles():
         "dedup_against": _oracle_dedup_against(),
         "snapshot_diff": _oracle_snapshot_diff(),
         "dedup_corpus_embedding": ORACLE_DEDUP_CORPUS_EMB,
+        "bcubed_embedding_clusters": ORACLE_BCUBED_EMB,
         "sample_stratified": _sample_oracle(),
         "mixture_resample": _mixture_oracle(),
         "train_test_split": _split_oracle(),

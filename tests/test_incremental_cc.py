@@ -110,3 +110,44 @@ def test_blocking_quality_zero_denominators_yield_null(spark):
     assert row.pairs_completeness_milli is None
     assert row.pairs_quality_milli is None
     assert row.reduction_ratio_milli == 1000
+
+
+def test_bcubed_exact_values(spark):
+    from polyfuzz_spark.metrics import bcubed
+
+    # clusters {1,2,3}, {4,5}; labels A={1,2,4}, B={3,5}
+    asg = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)],
+        "doc_id long, cluster long",
+    )
+    lab = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "A"), (5, "B")],
+        "doc_id long, label string",
+    )
+    row = bcubed(asg, lab).collect()[0]
+    assert row.n_records == 5
+    # precision: records 1,2 -> 2/3; 3 -> 1/3; 4 -> 1/2; 5 -> 1/2
+    # cell identity with per-cell integer DIV:
+    # (4*1e6)//3 + (1*1e6)//3 + (1*1e6)//2 + (1*1e6)//2
+    sp = (4 * 10**6) // 3 + (1 * 10**6) // 3 + 10**6 // 2 + 10**6 // 2
+    assert row.bcubed_precision_micro == sp // 5
+    # recall: cells over label sizes |A|=3, |B|=2
+    sr = (4 * 10**6) // 3 + (1 * 10**6) // 2 + (1 * 10**6) // 3 + 10**6 // 2
+    assert row.bcubed_recall_micro == sr // 5
+    p, r = sp // 5, sr // 5
+    assert row.bcubed_f1_micro == (2 * p * r) // (p + r)
+
+
+def test_bcubed_perfect_clustering_is_one(spark):
+    from polyfuzz_spark.metrics import bcubed
+
+    asg = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9)], "doc_id long, cluster long"
+    )
+    lab = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, label string"
+    )
+    row = bcubed(asg, lab).collect()[0]
+    assert row.bcubed_precision_micro == 1_000_000
+    assert row.bcubed_recall_micro == 1_000_000
+    assert row.bcubed_f1_micro == 1_000_000
