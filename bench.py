@@ -128,6 +128,22 @@ def run_er_pipeline(spark, sf: float) -> dict:
     f1 = pairwise_f1(
         cands, corpus.select("doc_id", "entity_id"), cc
     )
+    # B-cubed per-record evaluation alongside pairwise F1 (exact integer
+    # micro; singletons = own cluster). Near-free: three aggs over the
+    # assignments-sized tables.
+    from polyfuzz_spark.metrics import bcubed
+
+    asg = (
+        corpus.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    b3 = bcubed(
+        asg, corpus.select("doc_id", F.col("entity_id").alias("label"))
+    ).collect()[0]
 
     for df in (cands, packed, matches, corpus, cc):
         df.unpersist()
@@ -150,6 +166,9 @@ def run_er_pipeline(spark, sf: float) -> dict:
         "pairwise_f1": round(f1["f1"], 4),
         "pairwise_precision": round(f1["precision"], 4),
         "pairwise_recall": round(f1["recall"], 4),
+        "bcubed_f1": round(b3.bcubed_f1_micro / 1e6, 4),
+        "bcubed_precision": round(b3.bcubed_precision_micro / 1e6, 4),
+        "bcubed_recall": round(b3.bcubed_recall_micro / 1e6, 4),
     }
 
 
