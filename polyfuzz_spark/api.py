@@ -87,12 +87,18 @@ def score_pairs(
             )
             .drop("from_id", "to_id", "sim")
         )
-    from .scorers.editdistance import pair_scorer_udf, validate_kernel
+    from .scorers.editdistance import (
+        UNIT_SCALE_KERNELS,
+        pair_scorer_udf,
+        validate_kernel,
+    )
 
     udf = pair_scorer_udf(validate_kernel(scorer))
-    return pairs.withColumn(
-        "similarity", F.round(udf(F.col(a_col), F.col(b_col)) / 100.0, 3)
-    )
+    raw = udf(F.col(a_col), F.col(b_col))
+    # percent kernels normalize to [0,1]; unit-scale kernels (monge_elkan)
+    # already are — dividing them by 100 would silently squash the score
+    sim = raw if scorer in UNIT_SCALE_KERNELS else raw / 100.0
+    return pairs.withColumn("similarity", F.round(sim, 3))
 
 
 def _default_matcher(method, top_n: int) -> BaseSparkMatcher:

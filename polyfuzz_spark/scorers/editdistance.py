@@ -31,8 +31,12 @@ from ..operators.topk import attach_to_keys, top_n_matches
 KNOWN_KERNELS = (
     "ratio", "partial_ratio", "token_sort_ratio", "token_set_ratio",
     "token_ratio", "partial_token_ratio", "WRatio", "QRatio",
-    "jaro", "jaro_winkler", "levenshtein_sim",
+    "jaro", "jaro_winkler", "levenshtein_sim", "monge_elkan",
 )
+
+# kernels already on [0, 1] — consumers that normalize percent kernels by
+# /100 must skip these (api.score_pairs dispatches on this set)
+UNIT_SCALE_KERNELS = frozenset({"monge_elkan", "jaro_winkler_unit"})
 
 
 def validate_kernel(name: str) -> str:
