@@ -252,3 +252,64 @@ def bcubed(
             "DIV ((_sp DIV n_records) + (_sr DIV n_records))"
         ).alias("bcubed_f1_micro"),
     )
+
+
+def fs_field_stats(
+    pairs: DataFrame,
+    label_col: str,
+    agreement_cols: list[str],
+) -> DataFrame:
+    """Fellegi–Sunter parameter estimation (Fellegi & Sunter, JASA 1969):
+    from LABELED pairs with per-field boolean agreement columns, the
+    m-probability (P(field agrees | match)) and u-probability
+    (P(agrees | non-match)) per field — the inputs the FS linear/log
+    weights are derived from, here ESTIMATED from data rather than
+    hand-set. One row per field:
+    (field, n_match, n_nonmatch, m_milli, u_milli).
+
+    Probabilities in integer milli (floor(round(x,3)·1000+0.5)); zero
+    denominators yield NULL. One map-side-combined aggregation over the
+    pair table builds every counter; the per-field long form comes from a
+    constant-width stack of the one aggregate row — nothing scales with
+    pair count but the single agg.
+    """
+    lbl = F.col(label_col)
+    aggs = [
+        F.count(F.when(lbl, 1)).cast("bigint").alias("_nm"),
+        F.count(F.when(~lbl, 1)).cast("bigint").alias("_nu"),
+    ]
+    for c in agreement_cols:
+        aggs.append(
+            F.count(F.when(lbl & F.col(c), 1)).cast("bigint").alias(f"_m_{c}")
+        )
+        aggs.append(
+            F.count(F.when(~lbl & F.col(c), 1)).cast("bigint")
+            .alias(f"_u_{c}")
+        )
+    one = pairs.agg(*aggs)
+    stacked = one.select(
+        "_nm",
+        "_nu",
+        F.expr(
+            "stack({n}, {args}) AS (field, _ma, _ua)".format(
+                n=len(agreement_cols),
+                args=", ".join(
+                    f"'{c}', _m_{c}, _u_{c}" for c in agreement_cols
+                ),
+            )
+        ),
+    )
+    milli = lambda num, den: F.when(
+        den > 0,
+        F.floor(
+            F.round(num.cast("double") / den.cast("double"), 3) * 1000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    return stacked.select(
+        "field",
+        F.col("_nm").alias("n_match"),
+        F.col("_nu").alias("n_nonmatch"),
+        milli(F.col("_ma"), F.col("_nm")).alias("m_milli"),
+        milli(F.col("_ua"), F.col("_nu")).alias("u_milli"),
+    )

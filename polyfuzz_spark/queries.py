@@ -795,6 +795,118 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_field_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter parameter ESTIMATION (the step before the decision
+    bands): over labeled pairs — each doc paired with its successor, the
+    labeled-candidate-pair shape, labeled by exact 3-gram-Jaccard ≥ 0.7
+    membership — the per-field m-probability (P(agrees | match)) and
+    u-probability (P(agrees | non-match)) for language equality, source
+    equality and length closeness (|Δn_chars| ≤ 10). The labeled set is
+    the union every textbook uses: the true-match pairs themselves
+    (exact Jaccard ≥ 0.7 dups) plus a non-match sample (successor pairs
+    that are not dups). These are the estimated inputs FS weights derive
+    from, vs the hand-set weights the multifield query demonstrates. One
+    map-side-combined agg builds every counter; the per-field rows are a
+    constant-width stack of the single aggregate row
+    (metrics.fs_field_stats)."""
+    from .metrics import fs_field_stats
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    docs = d.select("doc_id", F.col("text").alias("key"))
+    tru = ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_T).select(
+        "from_id", "to_id"
+    )
+    succ = d.select(F.col("doc_id").alias("from_id")).join(
+        d.select((F.col("doc_id") - 1).alias("from_id"),
+                 F.col("doc_id").alias("to_id")),
+        "from_id",
+    )
+    labeled_pairs = (
+        succ.join(tru, ["from_id", "to_id"], "left_anti")
+        .withColumn("is_match", F.lit(False))
+        .unionByName(tru.withColumn("is_match", F.lit(True)))
+    )
+    attrs = lambda side: d.select(
+        F.col("doc_id").alias(side),
+        F.col("lang").alias(f"l_{side}"),
+        F.col("source").alias(f"s_{side}"),
+        F.col("n_chars").alias(f"n_{side}"),
+    )
+    labeled = (
+        labeled_pairs.join(attrs("from_id"), "from_id")
+        .join(attrs("to_id"), "to_id")
+        .select(
+            "is_match",
+            (F.col("l_from_id") == F.col("l_to_id")).alias("lang_eq"),
+            (F.col("s_from_id") == F.col("s_to_id")).alias("source_eq"),
+            (F.abs(F.col("n_from_id") - F.col("n_to_id")) <= 10)
+            .alias("len_close"),
+        )
+    )
+    return fs_field_stats(
+        labeled, "is_match", ["lang_eq", "source_eq", "len_close"]
+    )
+
+
+def _oracle_fs_field_weights() -> str:
+    milli = (
+        "CASE WHEN {d} > 0 THEN CAST(floor(round(CAST({n} AS DOUBLE) / "
+        "CAST({d} AS DOUBLE), 3) * 1000 + 0.5) AS BIGINT) END"
+    )
+    rows = []
+    for field, agree in [
+        ("lang_eq", "la = lb"),
+        ("source_eq", "sa = sb"),
+        ("len_close", "abs(na - nb) <= 10"),
+    ]:
+        rows.append(
+            f"SELECT '{field}' AS field, nm AS n_match, nu AS n_nonmatch,\n"
+            f"       {milli.format(n=f'm_{field}', d='nm')} AS m_milli,\n"
+            f"       {milli.format(n=f'u_{field}', d='nu')} AS u_milli\n"
+            "FROM counts"
+        )
+    counters = ",\n         ".join(
+        f"count(*) FILTER (is_match AND ({agree})) AS m_{field},\n"
+        f"         count(*) FILTER (NOT is_match AND ({agree})) AS u_{field}"
+        for field, agree in [
+            ("lang_eq", "la = lb"),
+            ("source_eq", "sa = sb"),
+            ("len_close", "abs(na - nb) <= 10"),
+        ]
+    )
+    return f"""
+WITH tru AS (SELECT from_id, to_id FROM ({ORACLE_JACCARD})),
+succ AS (
+  SELECT a.doc_id AS from_id, b.doc_id AS to_id
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+lp AS (
+  SELECT from_id, to_id, FALSE AS is_match FROM succ
+  WHERE NOT EXISTS (SELECT 1 FROM tru
+                    WHERE tru.from_id = succ.from_id
+                      AND tru.to_id = succ.to_id)
+  UNION ALL
+  SELECT from_id, to_id, TRUE AS is_match FROM tru
+),
+p AS (
+  SELECT lp.is_match,
+         fa.lang AS la, fa.source AS sa, fa.n_chars AS na,
+         tb.lang AS lb, tb.source AS sb, tb.n_chars AS nb
+  FROM lp
+  JOIN documents fa ON fa.doc_id = lp.from_id
+  JOIN documents tb ON tb.doc_id = lp.to_id
+),
+counts AS (
+  SELECT count(*) FILTER (is_match) AS nm,
+         count(*) FILTER (NOT is_match) AS nu,
+         {counters}
+  FROM p
+)
+{" UNION ALL ".join(rows)}
+"""
+
+
 SNAP_SALT2 = "snapshot-v2"
 
 
@@ -3042,6 +3154,7 @@ def all_queries():
         "cluster_assignments": q_cluster_assignments,
         "cluster_assignments_incremental": q_cluster_assignments_incremental,
         "blocking_quality": q_blocking_quality,
+        "fs_field_weights": q_fs_field_weights,
         "multifield_match_top1": q_multifield_match_top1,
         "linkage_verdicts": q_linkage_verdicts,
         "monge_elkan_top1": q_monge_elkan_top1,
@@ -3112,6 +3225,7 @@ def all_oracles():
         # clustering the union graph from scratch
         "cluster_assignments_incremental": ORACLE_CLUSTERS_INCREMENTAL,
         "blocking_quality": _oracle_blocking_quality(),
+        "fs_field_weights": _oracle_fs_field_weights(),
         "multifield_match_top1": ORACLE_MULTIFIELD_TOP1,
         "linkage_verdicts": ORACLE_LINKAGE_VERDICTS,
         "monge_elkan_top1": ORACLE_MONGE_ELKAN_TOP1,

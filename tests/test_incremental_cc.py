@@ -151,3 +151,39 @@ def test_bcubed_perfect_clustering_is_one(spark):
     assert row.bcubed_precision_micro == 1_000_000
     assert row.bcubed_recall_micro == 1_000_000
     assert row.bcubed_f1_micro == 1_000_000
+
+
+def test_fs_field_stats_exact_counts(spark):
+    from polyfuzz_spark.metrics import fs_field_stats
+
+    rows = [
+        # (is_match, f1_agrees, f2_agrees)
+        (True, True, False),
+        (True, True, True),
+        (True, False, True),
+        (False, True, False),
+        (False, False, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "is_match boolean, f1 boolean, f2 boolean"
+    )
+    out = {
+        r.field: r
+        for r in fs_field_stats(df, "is_match", ["f1", "f2"]).collect()
+    }
+    assert out["f1"].n_match == 3 and out["f1"].n_nonmatch == 2
+    assert out["f1"].m_milli == 667  # 2/3
+    assert out["f1"].u_milli == 500  # 1/2
+    assert out["f2"].m_milli == 667
+    assert out["f2"].u_milli == 0
+
+
+def test_fs_field_stats_zero_denominator_is_null(spark):
+    from polyfuzz_spark.metrics import fs_field_stats
+
+    df = spark.createDataFrame(
+        [(False, True)], "is_match boolean, f1 boolean"
+    )
+    row = fs_field_stats(df, "is_match", ["f1"]).collect()[0]
+    assert row.n_match == 0 and row.m_milli is None
+    assert row.u_milli == 1000
