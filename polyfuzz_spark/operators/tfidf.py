@@ -129,6 +129,63 @@ def fit_tfidf(fit_docs: DataFrame, key_col: str = "key",
     return TfidfModel(idf=idf, n_docs=n_docs, config=cfg)
 
 
+def _recover_df(model: TfidfModel):
+    """Invert the smooth-IDF formula back to the INTEGER document
+    frequency: idf = ln((1+N)/(1+df)) + 1 ⇒ 1+df = (1+N)/e^(idf−1).
+    The float round trip lands within ~1e-14 relative of the true
+    integer, so round-to-nearest recovers it exactly for any df < ~1e12
+    (pinned by the merge==joint-fit parity test)."""
+    n = float(model.n_docs)
+    return model.idf.select(
+        "term",
+        (
+            F.round((F.lit(1.0) + F.lit(n)) / F.exp(F.col("idf") - 1), 0)
+            - F.lit(1.0)
+        ).cast("bigint").alias("df"),
+    )
+
+
+def merge_tfidf_models(a: TfidfModel, b: TfidfModel) -> TfidfModel:
+    """Incremental model evolution: merge two models fitted on DISJOINT
+    corpora into the model a joint fit over the union would produce —
+    bit-identical IDF values, because document frequencies and corpus
+    sizes are both additive over disjoint document multisets and the
+    recomputation uses the exact fit expression on the summed integers
+    (the TF-IDF analog of ``functions/lm.merge_hashed_lms``; at catalog
+    scale this re-fits the serving model per snapshot delta without
+    re-reading old corpora).
+
+    One full-outer equi-join of two ≤|vocab|-row dimension tables + a
+    map-side projection; nothing corpus-scale.
+    """
+    if a.config != b.config:
+        raise ValueError(
+            "cannot merge models with different configs: "
+            f"{a.config} vs {b.config}"
+        )
+    n_docs = a.n_docs + b.n_docs
+    da = _recover_df(a).withColumnRenamed("df", "dfa")
+    db = _recover_df(b).withColumnRenamed("df", "dfb")
+    merged_df = da.join(db, "term", "full_outer").select(
+        "term",
+        (
+            F.coalesce("dfa", F.lit(0)) + F.coalesce("dfb", F.lit(0))
+        ).alias("df"),
+    )
+    # the exact fit expression over the summed integers (fit_tfidf above)
+    idf = merged_df.select(
+        "term",
+        (
+            F.log(
+                (F.lit(1.0) + F.lit(float(n_docs)))
+                / (F.lit(1.0) + F.col("df"))
+            )
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    return TfidfModel(idf=idf, n_docs=n_docs, config=a.config)
+
+
 def vectorize(model: TfidfModel, docs: DataFrame, key_col: str = "key",
               id_col: str = "doc_id") -> DataFrame:
     """L2-normalized sparse TF-IDF vectors: (doc_id, term, weight).

@@ -130,3 +130,47 @@ def test_embedding_save_load_transform_parity(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(pre, post)
     assert list(post.to_id) == [0, 2]
+
+
+def test_merge_tfidf_models_equals_joint_fit(spark):
+    """Halves-merge == joint-fit, bit-identical IDF per term (the same
+    parity contract as functions/lm.merge_hashed_lms)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.operators.tfidf import fit_tfidf, merge_tfidf_models
+
+    rng = random.Random(77)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(rng.choices(words, k=rng.randint(1, 6))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, key string")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+
+    joint = fit_tfidf(docs)
+    merged = merge_tfidf_models(fit_tfidf(a), fit_tfidf(b))
+    assert merged.n_docs == joint.n_docs
+
+    jm = {r.term: r.idf for r in joint.idf.collect()}
+    mm = {r.term: r.idf for r in merged.idf.collect()}
+    assert jm == mm  # exact float equality, not approx
+
+
+def test_merge_tfidf_models_rejects_config_mismatch(spark):
+    import pytest
+
+    from polyfuzz_spark.operators.tfidf import (
+        TfidfConfig,
+        fit_tfidf,
+        merge_tfidf_models,
+    )
+
+    docs = spark.createDataFrame([(1, "abcd")], "doc_id long, key string")
+    m1 = fit_tfidf(docs)
+    m2 = fit_tfidf(docs, cfg=TfidfConfig(n_gram_range=(2, 2)))
+    with pytest.raises(ValueError, match="different configs"):
+        merge_tfidf_models(m1, m2)
