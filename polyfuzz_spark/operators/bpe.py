@@ -70,6 +70,31 @@ def word_counts(
     return wc
 
 
+def merge_word_counts(
+    a: DataFrame, b: DataFrame, min_count: int = 1
+) -> DataFrame:
+    """Incremental tokenizer-training state: word counts over disjoint
+    corpora are ADDITIVE, so two snapshots' tables merge into exactly the
+    joint table — `learn_bpe` over the merge learns the identical merge
+    sequence a joint fit would (pinned by tests). The BPE analog of
+    ``merge_hashed_lms`` / ``merge_tfidf_models``: evolve the tokenizer
+    per snapshot delta without re-reading old corpora.
+
+    Both inputs MUST be unfloored (built with ``min_count=1``): a
+    min_count floor is not additive — a word below the floor in both
+    halves can clear it in the union — so the floor applies HERE, after
+    the sum. One union + one map-side-combined sum over two ≤|vocab|-row
+    tables; nothing corpus-scale."""
+    wc = (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    if min_count > 1:
+        wc = wc.where(F.col("cnt") >= F.lit(min_count))
+    return wc
+
+
 def _symbols(word: str) -> tuple[str, ...]:
     return tuple(word) + (EOW,)
 

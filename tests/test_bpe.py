@@ -169,3 +169,47 @@ def test_empty_and_exhausted_corpora(spark):
     # single 1-char word exhausts after 1 merge (char + EOW)
     got = learn_bpe(_wc_df(spark, {"a": 3}), 5).collect()
     assert [(r["left"], r["right"]) for r in got] == [("a", EOW)]
+
+
+def test_merge_word_counts_equals_joint_and_same_merges(spark):
+    """Halves-merge == joint fit for the tokenizer: identical word counts
+    AND an identical learned merge sequence (the incremental-evolution
+    contract shared with merge_hashed_lms / merge_tfidf_models)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.operators.bpe import (
+        learn_bpe,
+        merge_word_counts,
+        word_counts,
+    )
+
+    rng = random.Random(5)
+    vocab = ["river", "rivet", "driver", "banana", "bandana", "ban"]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 5))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+
+    joint = word_counts(docs)
+    merged = merge_word_counts(word_counts(a), word_counts(b))
+    assert sorted(map(tuple, joint.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    mj = [tuple(r) for r in learn_bpe(joint, 8).collect()]
+    mm = [tuple(r) for r in learn_bpe(merged, 8).collect()]
+    assert mj == mm
+
+
+def test_merge_word_counts_floor_applies_after_sum(spark):
+    from polyfuzz_spark.operators.bpe import merge_word_counts
+
+    a = spark.createDataFrame([("x", 2), ("y", 1)], "word string, cnt long")
+    b = spark.createDataFrame([("x", 1), ("y", 1)], "word string, cnt long")
+    out = {r.word: r.cnt for r in merge_word_counts(a, b, min_count=3).collect()}
+    # y = 1+1 = 2 < 3 drops; x = 3 clears the floor only thanks to the sum
+    assert out == {"x": 3}
