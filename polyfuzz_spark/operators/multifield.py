@@ -61,7 +61,22 @@ def field_score(pairs: DataFrame, fields: list[FieldSim]) -> Column:
     """The weighted linear score (unit scale) over ``fields`` — built in
     declaration order so the floating-point sum is deterministic (and
     mirrorable expression-for-expression in an oracle)."""
-    from ..scorers.editdistance import pair_scorer_udf
+    from ..scorers.editdistance import (
+        KNOWN_KERNELS,
+        UNIT_SCALE_KERNELS,
+        pair_scorer_udf,
+    )
+
+    valid_fuzzy = set(KNOWN_KERNELS) | set(UNIT_SCALE_KERNELS)
+    for f in fields:
+        if f.kind not in ("equal", "numeric") and f.kind not in valid_fuzzy:
+            # fail at plan-build time with the kernel list — a bad name
+            # inside the pandas UDF would only KeyError per-task at
+            # runtime, after the blocked join already shuffled
+            raise ValueError(
+                f"unknown FieldSim kind {f.kind!r}; choose 'equal', "
+                f"'numeric', or a kernel from {sorted(valid_fuzzy)}"
+            )
 
     total = F.lit(0.0)
     for f in fields:

@@ -273,19 +273,27 @@ def snapshot_diff(
     invariant the pipelines checkpoint), so the compare never ships
     content across the shuffle — one full-outer equi-join on the id
     carrying a 64-hex digest per side. Bucketed-by-id snapshot layouts
-    serve the join shuffle-free.
+    serve the join shuffle-free. Row presence is tracked by explicit
+    markers, not digest nullability, so a row whose content IS NULL still
+    diffs correctly (sha2(NULL) is NULL — conflating it with row absence
+    would report a deleted null-content row as 'added').
     """
+    digest = lambda c: F.coalesce(
+        F.sha2(F.col(c), 256), F.lit("<null-content>")
+    )
     o = old.select(
-        F.col(id_col), F.sha2(F.col(content_col), 256).alias("_osha")
+        F.col(id_col), F.lit(True).alias("_op"),
+        digest(content_col).alias("_osha"),
     )
     n = new.select(
-        F.col(id_col), F.sha2(F.col(content_col), 256).alias("_nsha")
+        F.col(id_col), F.lit(True).alias("_np"),
+        digest(content_col).alias("_nsha"),
     )
     joined = o.join(n, id_col, "full_outer")
     return joined.select(
         id_col,
-        F.when(F.col("_osha").isNull(), F.lit("added"))
-        .when(F.col("_nsha").isNull(), F.lit("removed"))
+        F.when(F.col("_op").isNull(), F.lit("added"))
+        .when(F.col("_np").isNull(), F.lit("removed"))
         .when(F.col("_osha") != F.col("_nsha"), F.lit("changed"))
         .alias("status"),
     ).where(F.col("status").isNotNull())

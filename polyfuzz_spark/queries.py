@@ -2268,6 +2268,32 @@ WHERE cos_milli >= {int(EMB_DUP_T * 1000)}
 """
 
 
+# shared materialized intermediate #5 (same discipline as _RANKED_CACHE):
+# the embedding near-dup pair graph at EMB_DEDUP_T feeds
+# dedup_corpus_embedding AND bcubed_embedding_clusters
+_EMB_PAIRS_CACHE: dict = {}
+
+
+def _emb_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dense_cosine
+    from .operators.dense_cosine import embedding_near_dup_pairs
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir,
+        dense_cosine.BROADCAST_MAX_DOCS, dense_cosine.BROADCAST_MAX_BYTES,
+    )
+    hit = _EMB_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = _embs(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(
+        e, threshold=EMB_DEDUP_T, lsh_conf={"n_planes": 4, "n_tables": 10}
+    ).localCheckpoint(eager=True)
+    _EMB_PAIRS_CACHE.clear()  # keep exactly one materialized table alive
+    _EMB_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def q_dedup_corpus_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) corpus dedup — the materialized verb over
     the COSINE near-dup graph, the twin of text-space ``dedup_corpus``:
@@ -2280,12 +2306,9 @@ def q_dedup_corpus_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.4 carves real duplicate clusters (60 pairs at sf0.01, 932 at
     sf0.1)."""
     from .operators.dedup import dedup_corpus
-    from .operators.dense_cosine import embedding_near_dup_pairs
 
     e = _embs(spark, sf_dir)
-    pairs = embedding_near_dup_pairs(
-        e, threshold=EMB_DEDUP_T, lsh_conf={"n_planes": 4, "n_tables": 10}
-    )
+    pairs = _emb_dedup_pairs(spark, sf_dir)
     kept = dedup_corpus(e, pairs, id_col="vec_id")
     return kept.select(
         "vec_id",
@@ -2311,13 +2334,10 @@ def q_bcubed_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are their own clusters. metrics.bcubed is one join + three map-side-
     combined aggs, no driver collect."""
     from .metrics import bcubed
-    from .operators.dense_cosine import embedding_near_dup_pairs
     from .operators.linkage import connected_components
 
     e = _embs(spark, sf_dir)
-    pairs = embedding_near_dup_pairs(
-        e, threshold=EMB_DEDUP_T, lsh_conf={"n_planes": 4, "n_tables": 10}
-    )
+    pairs = _emb_dedup_pairs(spark, sf_dir)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
     comp = connected_components(
         pairs.select(pad("from_id").alias("src"), pad("to_id").alias("dst"))
@@ -3097,7 +3117,7 @@ def q_monge_elkan_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p_type, p_brand) blocking as the multifield family; Arrow-batched
     pair kernel, ranked on the QUANTIZED milli score. Exact DuckDB twin
     via list lambdas (bit-exact: sequential list-order sum both sides)."""
-    from .scorers.editdistance import pair_scorer_udf
+    from .operators.multifield import FieldSim, multifield_score
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     f_side = part.where(F.col("p_partkey") % 2 == 1).select(
@@ -3112,12 +3132,14 @@ def q_monge_elkan_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type",
         "p_brand",
     )
-    n_part = spark.sparkContext.defaultParallelism * 2
-    me = pair_scorer_udf("monge_elkan")(F.col("fn"), F.col("tn"))
-    pairs = (
-        f_side.repartition(n_part)
-        .join(t_side, ["p_type", "p_brand"])
-        .select("from_id", "to_id", _milli(me).alias("me_milli"))
+    # one-field instantiation of the reusable operator (0.0 + 1.0·me is
+    # bit-identical to me, so the oracle's bare expression still matches)
+    scored = multifield_score(
+        f_side, t_side, ["p_type", "p_brand"],
+        [FieldSim("fn", "tn", 1.0, "monge_elkan")],
+    )
+    pairs = scored.select(
+        "from_id", "to_id", _milli(F.col("score")).alias("me_milli")
     )
     w = Window.partitionBy("from_id").orderBy(
         F.desc("me_milli"), F.asc("to_id")

@@ -134,12 +134,11 @@ class RapidFuzzMatcher(BaseSparkMatcher):
         pairs, to_eff, _ = _candidate_pairs(
             from_df, to_df, self.use_blocking, self.blocking_conf
         )
-        scored = pairs.select(
-            "from_id",
-            "to_id",
-            (pair_scorer_udf(self.scorer)(F.col("f_key"), F.col("t_key")) / 100.0
-             ).alias("sim"),
-        )
+        raw = pair_scorer_udf(self.scorer)(F.col("f_key"), F.col("t_key"))
+        # unit-scale kernels (monge_elkan) are already on [0,1] — the /100
+        # percent normalization would squash them below any score_cutoff
+        sim = raw if self.scorer in UNIT_SCALE_KERNELS else raw / 100.0
+        scored = pairs.select("from_id", "to_id", sim.alias("sim"))
         matches = top_n_matches(
             scored, from_df, self.top_n, min_similarity=self.score_cutoff
         )

@@ -67,3 +67,31 @@ def test_compound_key_restricts_candidates(spark):
     single = blocked_pairs(f, t, ["k1"]).count()
     compound = blocked_pairs(f, t, ["k1", "k2"]).count()
     assert (single, compound) == (4, 2)
+
+
+def test_unknown_field_kind_fails_at_plan_time(spark):
+    import pytest
+
+    from polyfuzz_spark.operators.multifield import FieldSim, multifield_score
+
+    f, t = _sides(spark, [(1, "a", 1, "x")], [(2, "a", 1, "x")])
+    with pytest.raises(ValueError, match="unknown FieldSim kind"):
+        multifield_score(
+            f, t, ["blk"], [FieldSim("fn", "tn", 1.0, "jaro-winkler")]
+        )
+
+
+def test_rapidfuzz_matcher_monge_elkan_unit_scale(spark):
+    """The matcher path must not /100 the unit-scale kernel (a squashed
+    score would empty every match table above any real cutoff)."""
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.scorers.editdistance import RapidFuzzMatcher
+
+    docs = spark.createDataFrame(
+        [(0, "red widget"), (1, "widget red"), (2, "blue bolt")],
+        "doc_id long, key string",
+    )
+    m = RapidFuzzMatcher(scorer="monge_elkan", score_cutoff=0.9)
+    out = m.match_df(docs).where(F.col("from_id") == 0).collect()
+    assert out and out[0].to_id == 1 and out[0].similarity >= 0.99

@@ -108,3 +108,35 @@ def test_exact_path_does_not_need_shingles(spark, corpus, batch, tmp_path_factor
     # "yo" (14) survives
     got = _ids(surv)
     assert 13 not in got and 14 in got
+
+
+def test_snapshot_diff_null_content_rows(spark):
+    """Presence is tracked by markers, not digest nullability: a
+    null-content row diffs as changed/removed, never as 'added'."""
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "keep"), (3, None)], "doc_id long, content string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, "keep"), (4, None)], "doc_id long, content string"
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    # 1: null -> 'x' is a change; 3: null-content row deleted -> removed;
+    # 4: new null-content row -> added; 2: unchanged -> omitted
+    assert out == {1: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_basic(spark):
+    from polyfuzz_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, content string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b2"), (5, "e")], "doc_id long, content string"
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "changed", 5: "added"}
