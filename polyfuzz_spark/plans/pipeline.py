@@ -10,6 +10,8 @@ content invariant, and a score distribution):
     matches     top-n + threshold (long matches contract)
     clusters    edge filter + iterative connected components
     survivors   deduplicated corpus (drop non-representative members)
+    golden      (optional, ERConfig.golden_records) one golden record per
+                cluster: survivorship merge with sha256 provenance
 
 ``run()`` skips any stage whose manifest is already complete — kill the job
 after any stage and rerun with the same run_dir to resume. The stage sink
@@ -73,6 +75,10 @@ class ERConfig:
     # switches every stage checkpoint from run_dir parquet to
     # writeTo(f"{prefix}_{stage}").createOrReplace(); None = parquet
     iceberg_table_prefix: str | None = None
+    # optional survivorship stage: one golden record per entity cluster
+    # (longest content + sha provenance, modal categorical fields)
+    golden_records: bool = False
+    golden_modal_cols: tuple[str, ...] = ("lang",)
 
 
 class CheckpointedPlan:
@@ -260,6 +266,9 @@ class ERPipeline(CheckpointedPlan):
                  config: ERConfig | None = None):
         super().__init__(spark, run_dir)
         self.cfg = config or ERConfig()
+        if self.cfg.golden_records:
+            # instance attr shadows the class list; resume/summary follow it
+            self.STAGES = [*self.STAGES, "golden"]
 
     # -------------------------------------------------------------- stages
     def run(self, corpus: DataFrame | None = None) -> dict:
@@ -376,6 +385,22 @@ class ERPipeline(CheckpointedPlan):
                 "survivors",
                 {"rows_dropped": int(rows["ingest"] - rows["survivors"])},
             )
+
+        if cfg.golden_records and not self.is_complete("golden"):
+            # one canonical record per cluster (singletons included) with
+            # sha256 provenance — per-rule map-side-combined argmax aggs
+            # over the same assignments the survivors stage consumed
+            from ..operators.survivorship import golden_records
+
+            asg = self.read("clusters").select(
+                "doc_id", F.col("rep_doc_id").alias("rep")
+            )
+            golden = golden_records(
+                self.read("ingest"), asg,
+                id_col="doc_id", content_col=cfg.key_col,
+                modal_cols=cfg.golden_modal_cols,
+            )
+            self._checkpoint("golden", golden)
 
         return {
             s: json.loads(self._manifest(s).read_text()) for s in self.STAGES

@@ -411,3 +411,46 @@ def test_ingest_sha_violation_raises_and_stays_incomplete(spark, tmp_path):
     summary = pipe.run(good)
     assert summary["ingest"]["sha256_violations"] == 0
     assert all(m["complete"] for m in summary.values())
+
+
+def test_pipeline_golden_records_stage(spark, tmp_path):
+    """Optional survivorship stage: one golden record per cluster
+    (singletons included), sha provenance checkable against ingest."""
+    import hashlib
+
+    run_dir = str(tmp_path / "er")
+    corpus = generate_corpus(spark, n_entities=60, seed=42)
+    cfg = ERConfig(
+        min_similarity=0.6, link_min_similarity=0.6,
+        golden_records=True, golden_modal_cols=("lang",),
+    )
+    pipe = ERPipeline(spark, run_dir, cfg)
+    summary = pipe.run(corpus)
+    assert summary["golden"]["complete"]
+
+    golden = pipe.read("golden")
+    ingest = pipe.read("ingest")
+    clusters = pipe.read("clusters")
+    # one row per cluster rep + one per unclustered singleton
+    reps = ingest.select("doc_id").join(
+        clusters.select("doc_id", "rep_doc_id"), "doc_id", "left"
+    ).select(F.coalesce("rep_doc_id", "doc_id").alias("rep")).distinct()
+    assert golden.count() == reps.count()
+    # provenance: every golden_sha is the sha256 of its longest member's
+    # content as stored in ingest
+    joined = golden.join(
+        ingest.select(
+            F.col("doc_id").alias("longest_doc_id"),
+            F.sha2("content", 256).alias("expect_sha"),
+        ),
+        "longest_doc_id",
+    )
+    assert joined.where(
+        F.col("golden_sha") != F.col("expect_sha")
+    ).count() == 0
+
+    # resume skips the completed stage and keeps the table identical
+    before = sorted(map(tuple, golden.collect()))
+    summary2 = ERPipeline(spark, run_dir, cfg).run(corpus=None)
+    assert summary2["golden"]["complete"]
+    assert sorted(map(tuple, pipe.read("golden").collect())) == before
