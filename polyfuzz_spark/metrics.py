@@ -313,3 +313,58 @@ def fs_field_stats(
         milli(F.col("_ma"), F.col("_nm")).alias("m_milli"),
         milli(F.col("_ua"), F.col("_nu")).alias("u_milli"),
     )
+
+
+def adjusted_rand_index(
+    assignments: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    label_col: str = "label",
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between a clustering and
+    ground-truth labels, in EXACT INTEGER MICRO units: with
+    I = Σ_cells C(n_ij,2), A = Σ_clusters C(a_i,2), B = Σ_labels C(b_j,2),
+    C = C(n,2), the chance-adjusted identity clears its denominators into
+    a ratio of INTEGERS:
+
+        ari_micro = (2·10⁶·(C·I − A·B)) DIV (C·(A+B) − 2·A·B)
+
+    No float expected-index anywhere — all products run in DECIMAL(38,0)
+    on the engine side (HUGEINT in the DuckDB twin), exact up to ~1e8
+    evaluation records, and both engines truncate integer division toward
+    zero (probed), so negative ARIs quantize identically. A degenerate
+    denominator (one cluster AND one label covering everything) yields
+    NULL. One join + three map-side-combined aggs; one row:
+    (n_records, ari_micro).
+    """
+    m = assignments.select(
+        F.col(id_col), F.col(cluster_col).alias("_c")
+    ).join(
+        labels.select(F.col(id_col), F.col(label_col).alias("_l")), id_col
+    )
+    c2 = lambda c: (c * (c - 1) / 2).cast("bigint")  # exact: c(c-1) even
+    cells = m.groupBy("_c", "_l").agg(F.count(F.lit(1)).alias("_n"))
+    i_sum = cells.agg(F.sum(c2(F.col("_n"))).alias("I"))
+    a_sum = (
+        m.groupBy("_c").agg(F.count(F.lit(1)).alias("_a"))
+        .agg(F.sum(c2(F.col("_a"))).alias("A"))
+    )
+    b_sum = (
+        m.groupBy("_l").agg(F.count(F.lit(1)).alias("_b"))
+        .agg(F.sum(c2(F.col("_b"))).alias("B"))
+    )
+    n_tot = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    joined = i_sum.crossJoin(a_sum).crossJoin(b_sum).crossJoin(n_tot)
+    dec = "CAST({x} AS DECIMAL(38,0))"
+    C = dec.format(x="n_records * (n_records - 1) DIV 2")
+    num = (f"2000000 * ({C} * {dec.format(x='I')} "
+           f"- {dec.format(x='A')} * {dec.format(x='B')})")
+    den = (f"{C} * ({dec.format(x='A')} + {dec.format(x='B')}) "
+           f"- 2 * {dec.format(x='A')} * {dec.format(x='B')}")
+    return joined.select(
+        "n_records",
+        F.when(
+            F.expr(den) != 0, F.expr(f"({num}) DIV ({den})")
+        ).cast("bigint").alias("ari_micro"),
+    )

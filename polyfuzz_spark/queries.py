@@ -2358,6 +2358,85 @@ def q_bcubed_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ari_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index of the embedding near-dup clustering against
+    the labels column — the chance-corrected complement to B³ (ARI is the
+    agreement metric most robust to cluster-count mismatch). Exact
+    integer micro via cleared denominators: a ratio of DECIMAL(38,0)
+    integers, one truncating division (both engines probed to truncate
+    toward zero), no float expected-index. Shares the cached pair graph
+    and the same CC closure as the bcubed twin."""
+    from .metrics import adjusted_rand_index
+    from .operators.linkage import connected_components
+
+    e = _embs(spark, sf_dir)
+    pairs = _emb_dedup_pairs(spark, sf_dir)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
+    comp = connected_components(
+        pairs.select(pad("from_id").alias("src"), pad("to_id").alias("dst"))
+    ).select(
+        F.col("key").cast("bigint").alias("vec_id"),
+        F.col("representative").cast("bigint").alias("rep"),
+    )
+    asg = (
+        e.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("rep", F.col("vec_id")).alias("cluster")
+        )
+    )
+    return adjusted_rand_index(
+        asg, e.select("vec_id", "label"),
+        id_col="vec_id", cluster_col="cluster", label_col="label",
+    )
+
+
+ORACLE_ARI_EMB = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS from_id, b.vec_id AS to_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000 + 0.5) AS BIGINT)
+        >= {int(EMB_DEDUP_T * 1000)}
+),
+sym AS (SELECT from_id AS a, to_id AS b FROM pairs
+        UNION SELECT to_id AS a, from_id AS b FROM pairs),
+reach(v, r) AS (
+  SELECT a AS v, a AS r FROM sym
+  UNION
+  SELECT s.b AS v, reach.r FROM sym s JOIN reach ON s.a = reach.v
+),
+rep AS (SELECT v, min(r) AS r FROM reach GROUP BY v),
+m AS (
+  SELECT d.vec_id, coalesce(rep.r, d.vec_id) AS c, d.label AS lab
+  FROM embeddings d LEFT JOIN rep ON d.vec_id = rep.v
+),
+cells AS (SELECT c, lab, count(*) AS nn FROM m GROUP BY 1, 2),
+terms AS (
+  SELECT
+    CAST((SELECT sum(nn * (nn - 1) // 2) FROM cells) AS HUGEINT) AS I,
+    CAST((SELECT sum(an * (an - 1) // 2) FROM
+          (SELECT count(*) AS an FROM m GROUP BY c)) AS HUGEINT) AS A,
+    CAST((SELECT sum(bn * (bn - 1) // 2) FROM
+          (SELECT count(*) AS bn FROM m GROUP BY lab)) AS HUGEINT) AS B,
+    CAST((SELECT count(*) FROM m) AS BIGINT) AS n_records
+)
+SELECT n_records,
+       CASE WHEN CAST(n_records * (n_records - 1) // 2 AS HUGEINT)
+                 * (A + B) - 2 * A * B <> 0
+            THEN CAST(
+              (2000000 * (CAST(n_records * (n_records - 1) // 2 AS HUGEINT)
+                          * I - A * B))
+              // (CAST(n_records * (n_records - 1) // 2 AS HUGEINT)
+                  * (A + B) - 2 * A * B)
+              AS BIGINT)
+       END AS ari_micro
+FROM terms
+"""
+
+
 ORACLE_BCUBED_EMB = f"""
 WITH RECURSIVE e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3212,6 +3291,7 @@ def all_queries():
         "snapshot_diff": q_snapshot_diff,
         "dedup_corpus_embedding": q_dedup_corpus_embedding,
         "bcubed_embedding_clusters": q_bcubed_embedding_clusters,
+        "ari_embedding_clusters": q_ari_embedding_clusters,
         "sample_stratified": q_sample_stratified,
         "mixture_resample": q_mixture_resample,
         "train_test_split": q_train_test_split,
@@ -3283,6 +3363,7 @@ def all_oracles():
         "snapshot_diff": _oracle_snapshot_diff(),
         "dedup_corpus_embedding": ORACLE_DEDUP_CORPUS_EMB,
         "bcubed_embedding_clusters": ORACLE_BCUBED_EMB,
+        "ari_embedding_clusters": ORACLE_ARI_EMB,
         "sample_stratified": _sample_oracle(),
         "mixture_resample": _mixture_oracle(),
         "train_test_split": _split_oracle(),

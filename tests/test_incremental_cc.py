@@ -187,3 +187,40 @@ def test_fs_field_stats_zero_denominator_is_null(spark):
     row = fs_field_stats(df, "is_match", ["f1"]).collect()[0]
     assert row.n_match == 0 and row.m_milli is None
     assert row.u_milli == 1000
+
+
+def test_ari_known_value_and_bounds(spark):
+    from polyfuzz_spark.metrics import adjusted_rand_index
+
+    # [0,0,1,1] vs [a,a,b,c] -> ARI = 4/7 = 0.571428...
+    asg = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)], "doc_id long, cluster long"
+    )
+    lab = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")],
+        "doc_id long, label string",
+    )
+    row = adjusted_rand_index(asg, lab).collect()[0]
+    assert row.ari_micro == 571428  # trunc(4/7 * 1e6)
+
+    # perfect agreement -> exactly 1.0
+    asg2 = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "doc_id long, cluster long"
+    )
+    lab2 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, label string"
+    )
+    assert adjusted_rand_index(asg2, lab2).collect()[0].ari_micro == 1000000
+
+
+def test_ari_degenerate_denominator_is_null(spark):
+    from polyfuzz_spark.metrics import adjusted_rand_index
+
+    # one cluster AND one label covering everything -> denominator 0
+    asg = spark.createDataFrame(
+        [(1, 10), (2, 10)], "doc_id long, cluster long"
+    )
+    lab = spark.createDataFrame(
+        [(1, "a"), (2, "a")], "doc_id long, label string"
+    )
+    assert adjusted_rand_index(asg, lab).collect()[0].ari_micro is None
