@@ -166,3 +166,35 @@ def test_monge_elkan_reordering_and_asymmetry():
         jaro_winkler("bolt", "red"), jaro_winkler("bolt", "widget")
     )) / 2
     assert got == want
+
+
+def test_monge_elkan_cross_engine_fuzz():
+    """Seeded fuzz of the kernel against the DuckDB list-lambda twin over
+    random single-spaced ASCII token strings — the same cross-engine layer
+    the LM/DSIR scorers carry. Exact float equality, not approx."""
+    import random
+
+    import duckdb
+
+    from polyfuzz_spark.scorers.kernels import monge_elkan
+
+    rng = random.Random(424242)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def rand_string():
+        return " ".join(
+            "".join(rng.choices(alpha, k=rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 5))
+        )
+
+    con = duckdb.connect()
+    q = """
+    SELECT list_avg(list_transform(string_split(?, ' '), ta ->
+             list_max(list_transform(string_split(?, ' '), tb ->
+               jaro_winkler_similarity(ta, tb)))))
+    """
+    for _ in range(200):
+        a, b = rand_string(), rand_string()
+        want = con.execute(q, [a, b]).fetchone()[0]
+        got = monge_elkan(a, b)
+        assert got == want, (a, b, got, want)
