@@ -101,3 +101,90 @@ def golden_records(
         )
         base = base.join(modal, "rep_doc_id", "left")
     return base
+
+
+def incremental_golden_records(
+    docs: DataFrame,
+    old_golden: DataFrame,
+    old_assignments: DataFrame,
+    new_assignments: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "key",
+    modal_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold an assignment delta into a golden-record table without
+    recomputing untouched clusters — the survivorship stage of the
+    incremental maintenance loop (``linkage.incremental_components``
+    updates the assignments; this updates the merged records).
+
+    Affected clusters are found from the TWO ASSIGNMENT TABLES ALONE
+    (full-outer join on the member key; a key absent from one side is a
+    singleton of itself there — no corpus scan to detect changes):
+    every old and new representative of any key whose membership moved.
+    Golden rows for affected clusters are recomputed over just their
+    members (one semi-join against the corpus); everything else passes
+    through from ``old_golden``. Exact: result ≡ ``golden_records(docs,
+    new_assignments)`` (fuzzed in ``tests/test_survivorship.py``).
+
+    At catalog scale the recompute set is O(delta), and the pass-through
+    is one anti-join on the cluster key — the corpus is touched only for
+    affected members.
+
+    Contract: ``docs`` is the corpus ``old_golden`` was built over, plus
+    any additions that appear in ``new_assignments`` (a clustered new doc
+    is picked up through its changed assignment; a brand-new UNASSIGNED
+    singleton is invisible to the assignment diff — feed additions from
+    ``snapshot_diff`` through the assignment batch, or append their
+    singleton golden rows directly).
+    """
+    oa = old_assignments.select(
+        F.col(id_col).alias("_k"), F.col("rep").alias("_or")
+    )
+    na = new_assignments.select(
+        F.col(id_col).alias("_k"), F.col("rep").alias("_nr")
+    )
+    moved = (
+        oa.join(na, "_k", "full_outer")
+        .select(
+            "_k",
+            F.coalesce("_or", F.col("_k")).alias("_eff_old"),
+            F.coalesce("_nr", F.col("_k")).alias("_eff_new"),
+        )
+        .where(F.col("_eff_old") != F.col("_eff_new"))
+    )
+    affected = (
+        moved.select(F.col("_eff_old").alias("rep"))
+        .unionByName(moved.select(F.col("_eff_new").alias("rep")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # members of affected NEW clusters: assigned members whose new rep is
+    # affected, plus affected singleton reps themselves (rep == own key)
+    member_keys = (
+        new_assignments.join(
+            affected.select(F.col("rep")), "rep", "left_semi"
+        ).select(F.col(id_col))
+        .unionByName(affected.select(F.col("rep").alias(id_col)))
+        .distinct()
+    )
+    docs_subset = docs.join(member_keys, id_col, "left_semi")
+    asg_subset = new_assignments.join(
+        affected.select("rep"), "rep", "left_semi"
+    ).select(id_col, "rep")
+    recomputed = golden_records(
+        docs_subset, asg_subset,
+        id_col=id_col, content_col=content_col, modal_cols=modal_cols,
+    )
+    # a doc id that was an affected old rep but no longer exists as a
+    # cluster (members moved away AND the doc itself now lives under a
+    # different rep) must not resurface: recomputed only contains reps
+    # that actually head a cluster or are genuine singletons among
+    # member_keys — but an affected old rep whose key is now a MEMBER of
+    # another affected cluster appears in docs_subset under that cluster,
+    # not as its own golden row. Pass-through drops every affected rep.
+    kept = old_golden.join(
+        affected.select(F.col("rep").alias("rep_doc_id")),
+        "rep_doc_id",
+        "left_anti",
+    )
+    return kept.unionByName(recomputed)

@@ -103,3 +103,81 @@ def test_all_null_cluster_degrades_gracefully(spark):
     assert row.longest_doc_id == 3  # min-id fallback
     assert row.golden_sha is None
     assert row.lang is None  # no non-null votes -> left-join null
+
+
+def _full_vs_incremental(spark, doc_rows, old_pairs, new_pairs):
+    """old/new_pairs: (doc_id, rep) assignment tuples."""
+    from polyfuzz_spark.operators.survivorship import (
+        golden_records,
+        incremental_golden_records,
+    )
+
+    docs = _docs(spark, doc_rows)
+    oa, na = _asg(spark, old_pairs), _asg(spark, new_pairs)
+    old_golden = golden_records(
+        docs, oa, content_col="key", modal_cols=("lang",)
+    )
+    got = incremental_golden_records(
+        docs, old_golden, oa, na, content_col="key", modal_cols=("lang",)
+    )
+    want = golden_records(docs, na, content_col="key", modal_cols=("lang",))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_incremental_golden_merge_and_split(spark):
+    docs = [
+        (1, "aa", "py", "gh"), (2, "bbbb", "py", "gh"),
+        (3, "c", "go", "gl"), (4, "dd", "go", "gl"), (5, "e", "py", "gh"),
+    ]
+    # clusters {1,2} and {3,4} merge into {1,2,3,4}; 5 stays singleton
+    _full_vs_incremental(
+        spark, docs,
+        [(1, 1), (2, 1), (3, 3), (4, 3)],
+        [(1, 1), (2, 1), (3, 1), (4, 1)],
+    )
+    # {1,2} splits: 2 becomes its own cluster
+    _full_vs_incremental(
+        spark, docs, [(1, 1), (2, 1)], [(1, 1)],
+    )
+
+
+def test_incremental_golden_untouched_clusters_pass_through(spark):
+    docs = [
+        (1, "aa", "py", "gh"), (2, "b", "py", "gh"),
+        (7, "ccc", "go", "gl"), (8, "d", "go", "gl"), (9, "ee", "py", "gh"),
+    ]
+    # {7,8} untouched; 9 joins {1,2}
+    _full_vs_incremental(
+        spark, docs,
+        [(1, 1), (2, 1), (7, 7), (8, 7)],
+        [(1, 1), (2, 1), (9, 1), (7, 7), (8, 7)],
+    )
+
+
+def test_incremental_golden_fuzz_vs_full(spark):
+    import random
+
+    rng = random.Random(99)
+    for trial in range(4):
+        n = rng.randint(4, 12)
+        docs = [
+            (i, "x" * rng.randint(1, 6), rng.choice(["py", "go"]),
+             rng.choice(["gh", "gl"]))
+            for i in range(n)
+        ]
+
+        def rand_asg():
+            pairs = []
+            ids = list(range(n))
+            rng.shuffle(ids)
+            while ids:
+                size = min(len(ids), rng.randint(1, 4))
+                group, ids = ids[:size], ids[size:]
+                rep = min(group)
+                if size > 1 or rng.random() < 0.5:
+                    pairs += [(g, rep) for g in group]
+            return pairs
+
+        _full_vs_incremental(spark, docs, rand_asg(), rand_asg())
