@@ -221,7 +221,7 @@ def connected_components(
 
 
 def incremental_components(
-    assignments: DataFrame, new_edges: DataFrame
+    assignments: DataFrame, new_edges: DataFrame, changed_only: bool = False
 ) -> DataFrame:
     """Cluster maintenance: fold a NEW batch of edges into a converged
     clustering without re-running connected components over the old graph.
@@ -279,12 +279,27 @@ def incremental_components(
         F.col("key").alias("representative"),
         F.col("representative").alias("new_rep"),
     )
-    old_rows = assignments.join(remap, "representative", "left").select(
-        "key", F.coalesce("new_rep", "representative").alias("representative")
-    )
     new_rows = delta.join(
         assignments.select("key"), "key", "left_anti"
     ).select("key", "representative")
+    if changed_only:
+        # O(delta) output for merge-on-read state sinks: only rows whose
+        # representative actually changed (old members of remapped
+        # clusters where the label moved) plus brand-new keys. Rewriting
+        # the FULL state table per batch is O(state) no matter how small
+        # the batch — at 20M assignments the full-rewrite fold measured
+        # 59 s of which ~50 s was the state rewrite itself; the upsert
+        # set is what a Delta/Iceberg MERGE INTO consumes.
+        old_rows = (
+            assignments.join(remap, "representative")
+            .where(F.col("new_rep") != F.col("representative"))
+            .select("key", F.col("new_rep").alias("representative"))
+        )
+    else:
+        old_rows = assignments.join(remap, "representative", "left").select(
+            "key",
+            F.coalesce("new_rep", "representative").alias("representative"),
+        )
     return old_rows.unionByName(new_rows).select(
         "key",
         "representative",

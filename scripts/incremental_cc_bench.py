@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--merge-every", type=int, default=100)
     ap.add_argument("--new-nodes", type=int, default=10_000)
     ap.add_argument("--skip-equality", action="store_true")
+    ap.add_argument("--changed-only", action="store_true",
+                    help="measure the O(delta) upsert-output fold as well")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -87,6 +89,15 @@ def main() -> None:
     n_incr = incr.count()
     t_incr = time.monotonic() - t0
 
+    t_upsert = n_upsert = None
+    if args.changed_only:
+        t0 = time.monotonic()
+        ups = incremental_components(
+            base, batch, changed_only=True
+        ).localCheckpoint(eager=True)
+        n_upsert = ups.count()
+        t_upsert = round(time.monotonic() - t0, 2)
+
     t0 = time.monotonic()
     full = connected_components(
         old_edges.unionByName(batch)
@@ -112,6 +123,8 @@ def main() -> None:
         "batch_edges": n_batch,
         "initial_cc_sec": round(t_initial, 2),
         "incremental_fold_sec": round(t_incr, 2),
+        "upsert_fold_sec": t_upsert,
+        "upsert_rows": n_upsert,
         "full_recompute_sec": round(t_full, 2),
         "speedup_per_snapshot": round(t_full / t_incr, 2) if t_incr else None,
         "rows_incremental": n_incr,

@@ -224,3 +224,37 @@ def test_ari_degenerate_denominator_is_null(spark):
         [(1, "a"), (2, "a")], "doc_id long, label string"
     )
     assert adjusted_rand_index(asg, lab).collect()[0].ari_micro is None
+
+
+def test_changed_only_upsert_reconstructs_full_state(spark):
+    """changed_only emits exactly the upsert set: applying it over the old
+    assignments (MERGE INTO semantics) reproduces the full-output mode and
+    the from-scratch recompute."""
+    import random
+
+    from polyfuzz_spark.operators.linkage import incremental_components
+
+    rng = random.Random(31)
+    for trial in range(3):
+        n = rng.randint(6, 30)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cut = rng.randint(1, len(edges) - 1)
+        base = connected_components(_edges_df(spark, edges[:cut]))
+        batch = _edges_df(spark, edges[cut:])
+        full = incremental_components(base, batch)
+        ups = incremental_components(base, batch, changed_only=True)
+        # every upsert row differs from (or is absent in) the old state
+        joined = ups.alias("u").join(
+            base.alias("b"), F.col("u.key") == F.col("b.key"), "left"
+        )
+        assert joined.where(
+            F.col("b.representative") == F.col("u.representative")
+        ).count() == 0
+        # MERGE: old rows not in the upsert set + the upsert set == full
+        merged = base.select("key", "representative", "cluster_id").join(
+            ups.select("key"), "key", "left_anti"
+        ).unionByName(ups)
+        assert _rows(merged) == _rows(full)
