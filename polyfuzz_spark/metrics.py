@@ -368,3 +368,50 @@ def adjusted_rand_index(
             F.expr(den) != 0, F.expr(f"({num}) DIV ({den})")
         ).cast("bigint").alias("ari_micro"),
     )
+
+
+def cluster_churn(
+    old_assignments: DataFrame,
+    new_assignments: DataFrame,
+    id_col: str = "doc_id",
+    rep_col: str = "rep",
+) -> DataFrame:
+    """Stability of a clustering across a maintenance step — the
+    monitoring signal for incremental linkage: over the union universe of
+    both tables (a key absent from one side is a singleton of itself
+    there), how many records changed cluster, and how the cluster count
+    moved. One row: (n_records, n_moved, churn_milli, n_clusters_old,
+    n_clusters_new). churn_milli uses the house milli quantization; one
+    full-outer equi-join + one map-side-combined agg.
+    """
+    o = old_assignments.select(
+        F.col(id_col).alias("_k"), F.col(rep_col).alias("_or")
+    )
+    n = new_assignments.select(
+        F.col(id_col).alias("_k"), F.col(rep_col).alias("_nr")
+    )
+    u = o.join(n, "_k", "full_outer").select(
+        F.coalesce("_or", F.col("_k")).alias("_eo"),
+        F.coalesce("_nr", F.col("_k")).alias("_en"),
+    )
+    milli = lambda x: F.floor(F.round(x, 3) * 1000 + F.lit(0.5)).cast("bigint")
+    agg = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.count(F.when(F.col("_eo") != F.col("_en"), 1))
+        .cast("bigint").alias("n_moved"),
+        F.countDistinct("_eo").cast("bigint").alias("n_clusters_old"),
+        F.countDistinct("_en").cast("bigint").alias("n_clusters_new"),
+    )
+    return agg.select(
+        "n_records",
+        "n_moved",
+        F.when(
+            F.col("n_records") > 0,
+            milli(
+                F.col("n_moved").cast("double")
+                / F.col("n_records").cast("double")
+            ),
+        ).alias("churn_milli"),
+        "n_clusters_old",
+        "n_clusters_new",
+    )

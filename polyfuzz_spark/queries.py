@@ -3050,6 +3050,87 @@ def q_cluster_assignments_incremental(spark: SparkSession, sf_dir: str) -> DataF
 ORACLE_CLUSTERS_INCREMENTAL = ORACLE_CLUSTERS
 
 
+def q_cluster_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance-monitoring signal: churn between the old-snapshot
+    clustering (match edges with both endpoints < 300) and the full
+    clustering after the delta folds in — records moved, churn rate, and
+    the cluster-count shift (merges shrink it, new nodes grow it). Over
+    the union universe with singleton-of-self semantics for keys absent
+    from a side; one full-outer equi-join + one map-side-combined agg
+    (metrics.cluster_churn)."""
+    from .metrics import cluster_churn
+    from .operators.linkage import (
+        connected_components,
+        incremental_components,
+    )
+
+    ranked = _tfidf_ranked_pairs(spark, sf_dir)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+    edges = ranked.where(
+        (F.col("rnk") <= CLUSTER_TOP_N)
+        & (F.col("sim_milli") > int(LINK_MIN_SIM * 1000))
+    )
+    is_old = (F.col("from_id") < INCR_SPLIT) & (F.col("to_id") < INCR_SPLIT)
+    old_cc = connected_components(
+        edges.where(is_old).select(
+            pad("from_id").alias("src"), pad("to_id").alias("dst")
+        )
+    )
+    new_cc = incremental_components(
+        old_cc,
+        edges.where(~is_old).select(
+            pad("from_id").alias("src"), pad("to_id").alias("dst")
+        ),
+    )
+    to_asg = lambda df: df.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("representative").cast("bigint").alias("rep"),
+    )
+    return cluster_churn(to_asg(old_cc), to_asg(new_cc))
+
+
+def _oracle_cluster_churn() -> str:
+    milli = "CAST(floor(round({x}, 3) * 1000 + 0.5) AS BIGINT)"
+    # two self-contained closures as nested subqueries (each with its own
+    # WITH RECURSIVE — the proven blocking_quality nesting pattern; two
+    # recursive CTEs sharing one WITH RECURSIVE miscounted in DuckDB)
+    full_closure = ORACLE_CLUSTERS
+    old_closure = ORACLE_CLUSTERS.replace(
+        f"WHERE rnk <= {CLUSTER_TOP_N} AND sim_milli > "
+        f"{int(LINK_MIN_SIM * 1000)}",
+        f"WHERE rnk <= {CLUSTER_TOP_N} AND sim_milli > "
+        f"{int(LINK_MIN_SIM * 1000)} "
+        f"AND from_id < {INCR_SPLIT} AND to_id < {INCR_SPLIT}",
+    )
+    churn = milli.format(
+        x="CAST(n_moved AS DOUBLE) / CAST(n_records AS DOUBLE)"
+    )
+    return f"""
+WITH ra AS (SELECT doc_id AS v, rep_doc_id AS r FROM ({full_closure})),
+ro AS (SELECT doc_id AS v, rep_doc_id AS r FROM ({old_closure})),
+univ AS (SELECT v FROM ra UNION SELECT v FROM ro),
+j AS (
+  SELECT u.v,
+         coalesce(ro.r, u.v) AS eo,
+         coalesce(ra.r, u.v) AS en
+  FROM univ u
+  LEFT JOIN ro ON u.v = ro.v
+  LEFT JOIN ra ON u.v = ra.v
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_records,
+         CAST(count(*) FILTER (eo <> en) AS BIGINT) AS n_moved,
+         CAST(count(DISTINCT eo) AS BIGINT) AS n_clusters_old,
+         CAST(count(DISTINCT en) AS BIGINT) AS n_clusters_new
+  FROM j
+)
+SELECT n_records, n_moved,
+       CASE WHEN n_records > 0 THEN {churn} END AS churn_milli,
+       n_clusters_old, n_clusters_new
+FROM agg
+"""
+
+
 MF_W_NAME, MF_W_SIZE, MF_W_PRICE = 0.6, 0.25, 0.15
 
 # shared materialized intermediate #3 (same discipline as _RANKED_CACHE):
@@ -3270,6 +3351,7 @@ def all_queries():
         "tfidf_transform_top1": q_tfidf_transform_top1,
         "cluster_assignments": q_cluster_assignments,
         "cluster_assignments_incremental": q_cluster_assignments_incremental,
+        "cluster_churn": q_cluster_churn,
         "blocking_quality": q_blocking_quality,
         "fs_field_weights": q_fs_field_weights,
         "multifield_match_top1": q_multifield_match_top1,
@@ -3342,6 +3424,7 @@ def all_oracles():
         # the full-recompute twin: incremental maintenance must equal
         # clustering the union graph from scratch
         "cluster_assignments_incremental": ORACLE_CLUSTERS_INCREMENTAL,
+        "cluster_churn": _oracle_cluster_churn(),
         "blocking_quality": _oracle_blocking_quality(),
         "fs_field_weights": _oracle_fs_field_weights(),
         "multifield_match_top1": ORACLE_MULTIFIELD_TOP1,
