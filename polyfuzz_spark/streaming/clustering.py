@@ -29,6 +29,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.linkage import connected_components, incremental_components
 
@@ -80,6 +81,7 @@ def stream_cluster_maintenance(
     *,
     available_now: bool = True,
     retain_versions: int = 2,
+    audit_churn: bool = False,
 ):
     """Start the maintenance stream over ``edge_stream`` (src, dst rows).
     Returns the StreamingQuery; read the converged clustering at any time
@@ -92,13 +94,20 @@ def stream_cluster_maintenance(
     versions older than the newest ``retain_versions`` are pruned — ≥ 2
     keeps the replay window safe (a replayed batch reads the newest
     version BELOW its id, i.e. at most one behind the newest on disk);
-    pass 0 to keep the full audit chain."""
+    pass 0 to keep the full audit chain.
+
+    ``audit_churn=True`` additionally writes one JSON line per fold to
+    ``{state_dir}/churn/v=<batch_id>.json`` (records moved, churn rate,
+    cluster-count shift vs the predecessor state — metrics.cluster_churn
+    over the key/representative tables); overwrite-per-version keeps the
+    audit exactly-once under replay too."""
     spark = edge_stream.sparkSession
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         prev = latest_state_version(state_dir, before=int(batch_id))
         batch = batch_df.select("src", "dst")
         if prev is None:
+            state = None
             out = connected_components(batch)
         else:
             state = spark.read.parquet(f"{state_dir}/v={prev}")
@@ -106,6 +115,29 @@ def stream_cluster_maintenance(
                 state.select("key", "representative"), batch
             )
         out.write.mode("overwrite").parquet(f"{state_dir}/v={int(batch_id)}")
+        if audit_churn:
+            import json
+
+            from ..metrics import cluster_churn
+
+            committed = spark.read.parquet(f"{state_dir}/v={int(batch_id)}")
+            prev_asg = (
+                state if state is not None
+                else spark.createDataFrame([], _STATE_SCHEMA)
+            )
+            to_asg = lambda df: df.select(
+                F.col("key").alias("doc_id"),
+                F.col("representative").alias("rep"),
+            )
+            row = cluster_churn(
+                to_asg(prev_asg), to_asg(committed)
+            ).collect()[0]
+            audit_dir = os.path.join(state_dir, "churn")
+            os.makedirs(audit_dir, exist_ok=True)
+            with open(
+                os.path.join(audit_dir, f"v={int(batch_id)}.json"), "w"
+            ) as fh:
+                json.dump(row.asDict(), fh)
         if retain_versions:
             _prune_versions(state_dir, max(int(retain_versions), 2))
 

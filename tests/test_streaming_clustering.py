@@ -117,3 +117,32 @@ def test_fold_is_replay_idempotent(spark, tmp_path):
     assert _rows(spark.read.parquet(f"{state_dir}/v=1")) == first
     # and the replay did NOT read its own output as input
     assert latest_state_version(state_dir, before=1) == 0
+
+
+def test_audit_churn_sidecar(spark, tmp_path):
+    import json
+    import os
+
+    in_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ck_dir = str(tmp_path / "ck")
+    _write_batches(spark, in_dir, [[(1, 2), (3, 4)], [(2, 3)]])
+    stream = (
+        spark.readStream.schema(EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_cluster_maintenance(
+        stream, state_dir, ck_dir, audit_churn=True
+    )
+    q.awaitTermination(120)
+    audits = sorted(os.listdir(f"{state_dir}/churn"))
+    assert len(audits) == 2
+    first = json.loads(open(f"{state_dir}/churn/{audits[0]}").read())
+    # first fold vs empty state: every clustered key "moved" from its
+    # singleton self to a cluster rep except the reps themselves
+    assert first["n_records"] == 4 and first["n_moved"] == 2
+    second = json.loads(open(f"{state_dir}/churn/{audits[1]}").read())
+    # merge of {1,2} and {3,4}: keys 3 and 4 move to rep 1
+    assert second["n_moved"] == 2
+    assert second["n_clusters_old"] == 2 and second["n_clusters_new"] == 1
