@@ -39,6 +39,8 @@ def main() -> None:
     p.add_argument("--retain-versions", type=int, default=2)
     p.add_argument("--follow", action="store_true",
                    help="run continuously instead of drain-and-exit")
+    p.add_argument("--audit-churn", action="store_true",
+                   help="write per-fold churn JSON under state-dir/churn")
     args = p.parse_args()
 
     from polyfuzz_spark.session import get_spark
@@ -59,6 +61,7 @@ def main() -> None:
         args.checkpoint_dir,
         available_now=not args.follow,
         retain_versions=args.retain_versions,
+        audit_churn=args.audit_churn,
     )
     if args.follow:
         q.awaitTermination()
