@@ -74,6 +74,19 @@ def read_assignments(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(f"{state_dir}/v={v}")
 
 
+def read_golden(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current maintained golden-record table (empty before the first
+    fold with ``docs`` configured commits)."""
+    gdir = os.path.join(state_dir, "golden")
+    v = latest_state_version(gdir)
+    if v is None:
+        return spark.createDataFrame(
+            [], "rep_doc_id string, n_members long, "
+                "longest_doc_id string, golden_sha string"
+        )
+    return spark.read.parquet(f"{gdir}/v={v}")
+
+
 def stream_cluster_maintenance(
     edge_stream: DataFrame,
     state_dir: str,
@@ -82,6 +95,9 @@ def stream_cluster_maintenance(
     available_now: bool = True,
     retain_versions: int = 2,
     audit_churn: bool = False,
+    docs: DataFrame | None = None,
+    golden_modal_cols: tuple[str, ...] = (),
+    content_col: str = "key",
 ):
     """Start the maintenance stream over ``edge_stream`` (src, dst rows).
     Returns the StreamingQuery; read the converged clustering at any time
@@ -100,7 +116,16 @@ def stream_cluster_maintenance(
     ``{state_dir}/churn/v=<batch_id>.json`` (records moved, churn rate,
     cluster-count shift vs the predecessor state — metrics.cluster_churn
     over the key/representative tables); overwrite-per-version keeps the
-    audit exactly-once under replay too."""
+    audit exactly-once under replay too.
+
+    Passing ``docs`` (a static corpus keyed like the edge endpoints, with
+    ``content_col`` + ``golden_modal_cols``) also maintains the GOLDEN
+    RECORD table per fold under ``{state_dir}/golden/v=<batch_id>``:
+    clusters the assignment delta touched are re-merged via
+    ``survivorship.incremental_golden_records`` (O(delta) recompute, the
+    rest passes through) — the full streaming survivorship loop, same
+    versioned exactly-once recipe. Read the current table via
+    ``read_golden``."""
     spark = edge_stream.sparkSession
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -138,6 +163,41 @@ def stream_cluster_maintenance(
                 os.path.join(audit_dir, f"v={int(batch_id)}.json"), "w"
             ) as fh:
                 json.dump(row.asDict(), fh)
+        if docs is not None:
+            from ..operators.survivorship import (
+                golden_records,
+                incremental_golden_records,
+            )
+
+            committed = spark.read.parquet(f"{state_dir}/v={int(batch_id)}")
+            to_asg = lambda df: df.select(
+                F.col("key").alias("doc_id"),
+                F.col("representative").alias("rep"),
+            )
+            # docs' doc_id must be STRING, matching the edge keys the
+            # assignment tables carry (the equi-joins would otherwise
+            # rely on implicit casts)
+            gdir = os.path.join(state_dir, "golden")
+            gprev = latest_state_version(gdir, before=int(batch_id))
+            if gprev is None or state is None:
+                golden = golden_records(
+                    docs, to_asg(committed),
+                    content_col=content_col,
+                    modal_cols=golden_modal_cols,
+                )
+            else:
+                old_golden = spark.read.parquet(f"{gdir}/v={gprev}")
+                golden = incremental_golden_records(
+                    docs, old_golden,
+                    to_asg(state), to_asg(committed),
+                    content_col=content_col,
+                    modal_cols=golden_modal_cols,
+                )
+            golden.write.mode("overwrite").parquet(
+                f"{gdir}/v={int(batch_id)}"
+            )
+            if retain_versions:
+                _prune_versions(gdir, max(int(retain_versions), 2))
         if retain_versions:
             _prune_versions(state_dir, max(int(retain_versions), 2))
 

@@ -146,3 +146,44 @@ def test_audit_churn_sidecar(spark, tmp_path):
     # merge of {1,2} and {3,4}: keys 3 and 4 move to rep 1
     assert second["n_moved"] == 2
     assert second["n_clusters_old"] == 2 and second["n_clusters_new"] == 1
+
+
+def test_streaming_golden_maintenance_equals_full(spark, tmp_path):
+    """With a static corpus configured, the maintained golden table after
+    the stream drains must equal a from-scratch golden_records over the
+    final assignments."""
+    from polyfuzz_spark.operators.survivorship import golden_records
+    from polyfuzz_spark.streaming.clustering import read_golden
+
+    docs = spark.createDataFrame(
+        [("1", "aa", "py"), ("2", "bbbb", "py"), ("3", "c", "go"),
+         ("4", "dd", "go"), ("5", "eee", "py")],
+        "doc_id string, key string, lang string",
+    )
+    batches = [[(1, 2), (3, 4)], [(2, 3)], [(4, 5)]]
+    in_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ck_dir = str(tmp_path / "ck")
+    _write_batches(spark, in_dir, batches)
+    stream = (
+        spark.readStream.schema(EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_cluster_maintenance(
+        stream, state_dir, ck_dir,
+        docs=docs, golden_modal_cols=("lang",),
+    )
+    q.awaitTermination(180)
+
+    final_asg = read_assignments(spark, state_dir).select(
+        F.col("key").alias("doc_id"),
+        F.col("representative").alias("rep"),
+    )
+    want = golden_records(
+        docs, final_asg, content_col="key", modal_cols=("lang",)
+    )
+    got = read_golden(spark, state_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
