@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  — flagship match→group pipeline on sf0.001 documents.
-queries()     — 66 entries, one per implemented operator (SURVEY.md §2 +
+queries()     — 67 entries, one per implemented operator (SURVEY.md §2 +
                 the training-data-pipeline extensions), from
                 polyfuzz_spark.queries.
-oracle_sql()  — 62 exact DuckDB twins (SimHash included: its md5-backed
+oracle_sql()  — 63 exact DuckDB twins (SimHash included: its md5-backed
                 term hash is bit-identical in DuckDB; the IVF machinery via
                 its full-probe twin, which degenerates to exact brute
                 force). Approximate or composite operators (probe-limited

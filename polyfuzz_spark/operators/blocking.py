@@ -202,3 +202,45 @@ def minhash_candidates(
         min_shared_bands=min_shared_bands, hot_bucket=hot_bucket,
         max_salt=max_salt,
     )
+
+
+def lsh_parameter_plan(
+    spark,
+    num_hashes: int = 64,
+    target_jaccard: float = 0.8,
+) -> DataFrame:
+    """Principled banding design (Leskovec/Rajaraman/Ullman ch.3): for
+    every (bands b, rows r) factorization of ``num_hashes``, the S-curve
+    collision probability p(s) = 1 − (1 − s^r)^b evaluated at the target
+    similarity, at ±0.1 around it (the false-negative / false-positive
+    flanks), and the curve's threshold (1/b)^(1/r) — the table a caller
+    reads to PICK b and r instead of guessing (the ER pipeline's
+    b=16, r=4 at t≈0.5 came from exactly this curve). Pure closed-form
+    arithmetic over a ≤-d(num_hashes)-row frame — no data touched; milli
+    quantization for engine-exact comparison."""
+    divisors = [
+        b for b in range(1, num_hashes + 1) if num_hashes % b == 0
+    ]
+    rows = spark.createDataFrame(
+        [(b, num_hashes // b) for b in divisors], "bands int, rows int"
+    )
+    t = F.lit(float(target_jaccard))
+    p_at = lambda s: (
+        F.lit(1.0)
+        - F.pow(
+            F.lit(1.0) - F.pow(s, F.col("rows").cast("double")),
+            F.col("bands").cast("double"),
+        )
+    )
+    milli = lambda x: F.floor(F.round(x, 3) * 1000 + F.lit(0.5)).cast("bigint")
+    return rows.select(
+        "bands",
+        "rows",
+        milli(F.pow(
+            F.lit(1.0) / F.col("bands").cast("double"),
+            F.lit(1.0) / F.col("rows").cast("double"),
+        )).alias("curve_threshold_milli"),
+        milli(p_at(t)).alias("p_at_target_milli"),
+        milli(p_at(t - F.lit(0.1))).alias("p_below_milli"),
+        milli(p_at(t + F.lit(0.1))).alias("p_above_milli"),
+    )

@@ -2961,6 +2961,49 @@ FROM sz LEFT JOIN rep ON sz.g = rep.v
 # Blocking-scheme evaluation + incremental cluster maintenance +
 # multi-attribute record linkage (round-3 ER-family additions)
 # --------------------------------------------------------------------------
+LSH_PLAN_HASHES, LSH_PLAN_TARGET = 64, 0.8
+
+
+def q_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding design BEFORE the run (LRU ch.3 S-curve): for every
+    (bands, rows) factorization of the 64-hash signature, the collision
+    probability at the target Jaccard and its ±0.1 flanks plus the
+    curve threshold (1/b)^(1/r) — the table that justifies b/r choices
+    (the ER config's b=16×r=4 came from this curve) instead of guessing.
+    Pure closed-form arithmetic, no data touched; pairs with
+    blocking_quality, which audits the chosen scheme AFTER the fact."""
+    from .operators.blocking import lsh_parameter_plan
+
+    return lsh_parameter_plan(
+        spark, num_hashes=LSH_PLAN_HASHES, target_jaccard=LSH_PLAN_TARGET
+    )
+
+
+def _oracle_lsh_parameter_plan() -> str:
+    divisors = [
+        b for b in range(1, LSH_PLAN_HASHES + 1) if LSH_PLAN_HASHES % b == 0
+    ]
+    t = LSH_PLAN_TARGET
+    p_at = lambda s: (
+        f"1.0 - pow(1.0 - pow({s}, CAST(rows AS DOUBLE)), "
+        "CAST(bands AS DOUBLE))"
+    )
+    return f"""
+WITH br AS (
+  SELECT b AS bands, {LSH_PLAN_HASHES} // b AS rows
+  FROM (SELECT unnest({divisors}) AS b)
+)
+SELECT bands, rows,
+       {MILLI.format(x="pow(1.0 / CAST(bands AS DOUBLE),"
+                       " 1.0 / CAST(rows AS DOUBLE))")}
+         AS curve_threshold_milli,
+       {MILLI.format(x=p_at(t))} AS p_at_target_milli,
+       {MILLI.format(x=p_at(f"{t} - 0.1"))} AS p_below_milli,
+       {MILLI.format(x=p_at(f"{t} + 0.1"))} AS p_above_milli
+FROM br
+"""
+
+
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reduction ratio / pairs completeness / pairs quality (Christen TKDE
     2012) of the SimHash banding scheme, evaluated against exact
@@ -3353,6 +3396,7 @@ def all_queries():
         "cluster_assignments_incremental": q_cluster_assignments_incremental,
         "cluster_churn": q_cluster_churn,
         "blocking_quality": q_blocking_quality,
+        "lsh_parameter_plan": q_lsh_parameter_plan,
         "fs_field_weights": q_fs_field_weights,
         "multifield_match_top1": q_multifield_match_top1,
         "linkage_verdicts": q_linkage_verdicts,
@@ -3426,6 +3470,7 @@ def all_oracles():
         "cluster_assignments_incremental": ORACLE_CLUSTERS_INCREMENTAL,
         "cluster_churn": _oracle_cluster_churn(),
         "blocking_quality": _oracle_blocking_quality(),
+        "lsh_parameter_plan": _oracle_lsh_parameter_plan(),
         "fs_field_weights": _oracle_fs_field_weights(),
         "multifield_match_top1": ORACLE_MULTIFIELD_TOP1,
         "linkage_verdicts": ORACLE_LINKAGE_VERDICTS,
