@@ -76,9 +76,11 @@ class ERConfig:
     # writeTo(f"{prefix}_{stage}").createOrReplace(); None = parquet
     iceberg_table_prefix: str | None = None
     # optional survivorship stage: one golden record per entity cluster
-    # (longest content + sha provenance, modal categorical fields)
+    # (longest content + sha provenance, modal categorical fields). Modal
+    # columns default EMPTY so the stage works on any corpus schema; name
+    # the categorical columns your corpus actually has.
     golden_records: bool = False
-    golden_modal_cols: tuple[str, ...] = ("lang",)
+    golden_modal_cols: tuple[str, ...] = ()
 
 
 class CheckpointedPlan:

@@ -3052,56 +3052,10 @@ FROM c, t, h, d
 INCR_SPLIT = 300
 
 
-def q_cluster_assignments_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster MAINTENANCE, not re-clustering: the match-edge set splits
-    into an 'old snapshot' (both endpoints < {INCR_SPLIT}) and a 'new
-    batch'; connected components runs once over the old graph, then
-    ``incremental_components`` folds the batch in by contracting old
-    clusters to their representative supernode — CC cost O(|batch|), old
-    state touched only through two equi-joins. The oracle is the FULL
-    recompute over all edges (same recursive CTE as cluster_assignments):
-    hash-equality here proves incremental == from-scratch, the invariant
-    that makes per-snapshot delta clustering sound at 10^12 files."""
-    from .operators.linkage import (
-        connected_components,
-        incremental_components,
-    )
-
-    ranked = _tfidf_ranked_pairs(spark, sf_dir)
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
-    edges = ranked.where(
-        (F.col("rnk") <= CLUSTER_TOP_N)
-        & (F.col("sim_milli") > int(LINK_MIN_SIM * 1000))
-    )
-    is_old = (F.col("from_id") < INCR_SPLIT) & (F.col("to_id") < INCR_SPLIT)
-    old_edges = edges.where(is_old).select(
-        pad("from_id").alias("src"), pad("to_id").alias("dst")
-    )
-    new_edges = edges.where(~is_old).select(
-        pad("from_id").alias("src"), pad("to_id").alias("dst")
-    )
-    base = connected_components(old_edges)
-    cc = incremental_components(base, new_edges)
-    return cc.select(
-        F.col("key").cast("bigint").alias("doc_id"),
-        F.col("representative").cast("bigint").alias("rep_doc_id"),
-    )
-
-
-# the exact full-recompute twin: incremental maintenance must be
-# indistinguishable from clustering the union graph from scratch
-ORACLE_CLUSTERS_INCREMENTAL = ORACLE_CLUSTERS
-
-
-def q_cluster_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The maintenance-monitoring signal: churn between the old-snapshot
-    clustering (match edges with both endpoints < 300) and the full
-    clustering after the delta folds in — records moved, churn rate, and
-    the cluster-count shift (merges shrink it, new nodes grow it). Over
-    the union universe with singleton-of-self semantics for keys absent
-    from a side; one full-outer equi-join + one map-side-combined agg
-    (metrics.cluster_churn)."""
-    from .metrics import cluster_churn
+def _incremental_cc_pair(spark: SparkSession, sf_dir: str):
+    """(old_cc, new_cc) for the INCR_SPLIT snapshot convention — the one
+    place the split/keying/threshold semantics live; consumed by both
+    cluster_assignments_incremental and cluster_churn."""
     from .operators.linkage import (
         connected_components,
         incremental_components,
@@ -3125,6 +3079,42 @@ def q_cluster_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             pad("from_id").alias("src"), pad("to_id").alias("dst")
         ),
     )
+    return old_cc, new_cc
+
+
+def q_cluster_assignments_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster MAINTENANCE, not re-clustering: the match-edge set splits
+    into an 'old snapshot' (both endpoints < {INCR_SPLIT}) and a 'new
+    batch'; connected components runs once over the old graph, then
+    ``incremental_components`` folds the batch in by contracting old
+    clusters to their representative supernode — CC cost O(|batch|), old
+    state touched only through two equi-joins. The oracle is the FULL
+    recompute over all edges (same recursive CTE as cluster_assignments):
+    hash-equality here proves incremental == from-scratch, the invariant
+    that makes per-snapshot delta clustering sound at 10^12 files."""
+    _old_cc, cc = _incremental_cc_pair(spark, sf_dir)
+    return cc.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("representative").cast("bigint").alias("rep_doc_id"),
+    )
+
+
+# the exact full-recompute twin: incremental maintenance must be
+# indistinguishable from clustering the union graph from scratch
+ORACLE_CLUSTERS_INCREMENTAL = ORACLE_CLUSTERS
+
+
+def q_cluster_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance-monitoring signal: churn between the old-snapshot
+    clustering (match edges with both endpoints < 300) and the full
+    clustering after the delta folds in — records moved, churn rate, and
+    the cluster-count shift (merges shrink it, new nodes grow it). Over
+    the union universe with singleton-of-self semantics for keys absent
+    from a side; one full-outer equi-join + one map-side-combined agg
+    (metrics.cluster_churn)."""
+    from .metrics import cluster_churn
+
+    old_cc, new_cc = _incremental_cc_pair(spark, sf_dir)
     to_asg = lambda df: df.select(
         F.col("key").cast("bigint").alias("doc_id"),
         F.col("representative").cast("bigint").alias("rep"),
@@ -3145,6 +3135,9 @@ def _oracle_cluster_churn() -> str:
         f"{int(LINK_MIN_SIM * 1000)} "
         f"AND from_id < {INCR_SPLIT} AND to_id < {INCR_SPLIT}",
     )
+    # a reformatting of ORACLE_CLUSTERS' WHERE clause would make the
+    # replace a silent no-op and the oracle assert churn ≡ 0
+    assert old_closure != full_closure, "old-closure substitution no-oped"
     churn = milli.format(
         x="CAST(n_moved AS DOUBLE) / CAST(n_records AS DOUBLE)"
     )

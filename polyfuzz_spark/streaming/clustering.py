@@ -74,16 +74,24 @@ def read_assignments(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(f"{state_dir}/v={v}")
 
 
-def read_golden(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_golden(
+    spark: SparkSession,
+    state_dir: str,
+    modal_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """The current maintained golden-record table (empty before the first
-    fold with ``docs`` configured commits)."""
+    fold with ``docs`` configured commits). Pass the stream's
+    ``golden_modal_cols`` so the empty-table fallback carries the same
+    schema a committed table will (consumers selecting a modal column
+    must not see the schema flip with timing)."""
     gdir = os.path.join(state_dir, "golden")
     v = latest_state_version(gdir)
     if v is None:
-        return spark.createDataFrame(
-            [], "rep_doc_id string, n_members long, "
-                "longest_doc_id string, golden_sha string"
-        )
+        schema = ("rep_doc_id string, n_members long, "
+                  "longest_doc_id string, golden_sha string")
+        for c in modal_cols:
+            schema += f", {c} string"
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(f"{gdir}/v={v}")
 
 
@@ -140,19 +148,19 @@ def stream_cluster_maintenance(
                 state.select("key", "representative"), batch
             )
         out.write.mode("overwrite").parquet(f"{state_dir}/v={int(batch_id)}")
+        committed = spark.read.parquet(f"{state_dir}/v={int(batch_id)}")
+        to_asg = lambda df: df.select(
+            F.col("key").alias("doc_id"),
+            F.col("representative").alias("rep"),
+        )
         if audit_churn:
             import json
 
             from ..metrics import cluster_churn
 
-            committed = spark.read.parquet(f"{state_dir}/v={int(batch_id)}")
             prev_asg = (
                 state if state is not None
                 else spark.createDataFrame([], _STATE_SCHEMA)
-            )
-            to_asg = lambda df: df.select(
-                F.col("key").alias("doc_id"),
-                F.col("representative").alias("rep"),
             )
             row = cluster_churn(
                 to_asg(prev_asg), to_asg(committed)
@@ -169,17 +177,18 @@ def stream_cluster_maintenance(
                 incremental_golden_records,
             )
 
-            committed = spark.read.parquet(f"{state_dir}/v={int(batch_id)}")
-            to_asg = lambda df: df.select(
-                F.col("key").alias("doc_id"),
-                F.col("representative").alias("rep"),
-            )
             # docs' doc_id must be STRING, matching the edge keys the
             # assignment tables carry (the equi-joins would otherwise
             # rely on implicit casts)
             gdir = os.path.join(state_dir, "golden")
             gprev = latest_state_version(gdir, before=int(batch_id))
-            if gprev is None or state is None:
+            # lockstep guard: the incremental path is only sound when the
+            # predecessor golden version was built against the SAME state
+            # this fold diffs from (a run without docs advances the state
+            # chain but not the golden chain; folding against a lagged
+            # golden base would pass stale rows through the anti-join
+            # forever). Any lag -> full recompute.
+            if gprev is None or state is None or gprev != prev:
                 golden = golden_records(
                     docs, to_asg(committed),
                     content_col=content_col,

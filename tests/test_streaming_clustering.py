@@ -187,3 +187,61 @@ def test_streaming_golden_maintenance_equals_full(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_golden_chain_lag_triggers_full_recompute(spark, tmp_path):
+    """A run WITHOUT docs advances the state chain but not the golden
+    chain; the next run WITH docs must detect the lag and fully recompute
+    instead of diffing against a stale golden base (which would pass
+    obsolete rows through the anti-join forever)."""
+    from polyfuzz_spark.operators.survivorship import golden_records
+    from polyfuzz_spark.streaming.clustering import read_golden
+
+    docs = spark.createDataFrame(
+        [("1", "aa", "py"), ("2", "bb", "py"), ("3", "cc", "go"),
+         ("4", "dddd", "go"), ("5", "e", "py")],
+        "doc_id string, key string, lang string",
+    )
+    in_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ck_dir = str(tmp_path / "ck")
+    stream = lambda: (
+        spark.readStream.schema(EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    # run 1 WITH docs: golden v tracks state v
+    _write_batches(spark, in_dir, [[(1, 2)]])
+    stream_cluster_maintenance(
+        stream(), state_dir, ck_dir, docs=docs, golden_modal_cols=("lang",)
+    ).awaitTermination(120)
+    # run 2 WITHOUT docs: {3,4} clusters, golden chain lags
+    _write_batches(spark, in_dir, [[(3, 4)]])
+    stream_cluster_maintenance(
+        stream(), state_dir, ck_dir
+    ).awaitTermination(120)
+    # run 3 WITH docs again: batch touches only {1,2,5}; without the lag
+    # guard, cluster {3,4}'s golden rows would be stale singletons
+    _write_batches(spark, in_dir, [[(2, 5)]])
+    stream_cluster_maintenance(
+        stream(), state_dir, ck_dir, docs=docs, golden_modal_cols=("lang",)
+    ).awaitTermination(120)
+
+    final_asg = read_assignments(spark, state_dir).select(
+        F.col("key").alias("doc_id"),
+        F.col("representative").alias("rep"),
+    )
+    want = golden_records(
+        docs, final_asg, content_col="key", modal_cols=("lang",)
+    )
+    got = read_golden(spark, state_dir, modal_cols=("lang",))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_read_golden_empty_schema_carries_modal_cols(spark, tmp_path):
+    from polyfuzz_spark.streaming.clustering import read_golden
+
+    df = read_golden(spark, str(tmp_path / "none"), modal_cols=("lang",))
+    assert "lang" in df.columns and df.count() == 0
