@@ -243,13 +243,24 @@ def bcubed(
         F.sum("_tr").alias("_sr"),
         F.sum("_m").cast("bigint").alias("n_records"),
     )
+    # F1 guarded: when both micro precision and recall floor to 0 (or the
+    # input is empty so n_records = 0) the denominator is 0 — NULL under
+    # default Spark but a DIVIDE_BY_ZERO error under ansi mode; emit 0
+    # explicitly, mirrored in the SQL twin
     return agg.select(
         "n_records",
-        F.expr("_sp DIV n_records").alias("bcubed_precision_micro"),
-        F.expr("_sr DIV n_records").alias("bcubed_recall_micro"),
         F.expr(
+            "CASE WHEN n_records > 0 THEN _sp DIV n_records ELSE NULL END"
+        ).alias("bcubed_precision_micro"),
+        F.expr(
+            "CASE WHEN n_records > 0 THEN _sr DIV n_records ELSE NULL END"
+        ).alias("bcubed_recall_micro"),
+        F.expr(
+            "CASE WHEN n_records > 0 "
+            "AND (_sp DIV n_records) + (_sr DIV n_records) > 0 THEN "
             "(2 * (_sp DIV n_records) * (_sr DIV n_records)) "
-            "DIV ((_sp DIV n_records) + (_sr DIV n_records))"
+            "DIV ((_sp DIV n_records) + (_sr DIV n_records)) "
+            "WHEN n_records > 0 THEN 0 ELSE NULL END"
         ).alias("bcubed_f1_micro"),
     )
 
@@ -343,7 +354,13 @@ def adjusted_rand_index(
     ).join(
         labels.select(F.col(id_col), F.col(label_col).alias("_l")), id_col
     )
-    c2 = lambda c: (c * (c - 1) / 2).cast("bigint")  # exact: c(c-1) even
+    # integer arithmetic end-to-end: c·(c−1) is always even so halving by
+    # shiftright is exact at any bigint count, unlike float /2 + a
+    # truncating cast which drifts by one once c·(c−1) exceeds 2^53
+    # (c ≈ 9.5e7, just under the docstring's exactness bound)
+    c2 = lambda c: F.shiftright(
+        (c.cast("bigint") * (c.cast("bigint") - 1)), 1
+    )
     cells = m.groupBy("_c", "_l").agg(F.count(F.lit(1)).alias("_n"))
     i_sum = cells.agg(F.sum(c2(F.col("_n"))).alias("I"))
     a_sum = (

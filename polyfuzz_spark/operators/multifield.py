@@ -93,9 +93,15 @@ def field_score(pairs: DataFrame, fields: list[FieldSim]) -> Column:
                 F.lit(0.0),
             )
         else:
-            sim = F.coalesce(
-                pair_scorer_udf(f.kind)(lc, rc), F.lit(0.0)
-            )
+            raw = pair_scorer_udf(f.kind)(lc, rc)
+            # percent-scale kernels ('ratio', 'WRatio', 'levenshtein_sim',
+            # ...) return 0–100; the weighted-sum contract is unit scale,
+            # so normalize here exactly as api.score_pairs dispatches on
+            # UNIT_SCALE_KERNELS — otherwise FieldSim('name','name',0.6,
+            # 'ratio') would contribute up to 60, not 0.6
+            if f.kind not in UNIT_SCALE_KERNELS:
+                raw = raw / F.lit(100.0)
+            sim = F.coalesce(raw, F.lit(0.0))
         total = total + F.lit(f.weight) * sim
     return total
 

@@ -283,7 +283,14 @@ class ERPipeline(CheckpointedPlan):
             "doc_id", F.col(cfg.key_col).alias("key")
         )
 
-        if not self.is_complete("candidates"):
+        # capture BEFORE any checkpoint/backfill mutates the manifest:
+        # the ordered-pairs resume guard below must run whenever the
+        # candidates stage already existed at entry, even when the same
+        # legacy manifest also needs the reduction_ratio backfill (a
+        # legacy run_dir lacks both fields — gating the guard on the
+        # backfill's else-branch would skip it exactly there)
+        candidates_preexisting = self.is_complete("candidates")
+        if not candidates_preexisting:
             bands = minhash_bands_mapside(
                 docs, "key", cfg.tfidf,
                 num_hashes=cfg.num_hashes, bands=cfg.bands,
@@ -311,6 +318,17 @@ class ERPipeline(CheckpointedPlan):
         # candidates stage committed before this field existed (or crashed
         # between checkpoint and amend) is backfilled.
         cand_mf = json.loads(self._manifest("candidates").read_text())
+        if candidates_preexisting:
+            # convention check FIRST, unconditionally on resume: scoring
+            # already-ordered pairs under the unordered convention
+            # double-counts every match. Checked before the backfill so a
+            # legacy manifest missing both fields still refuses.
+            if cand_mf.get("pairs_convention") != "unordered":
+                raise ValueError(
+                    "run_dir was checkpointed with the pre-halving ordered-"
+                    "pairs convention; resume would double-count matches — "
+                    "start a fresh run_dir"
+                )
         if "reduction_ratio" not in cand_mf:
             n_docs = json.loads(self._manifest("ingest").read_text())["rows"]
             total = n_docs * (n_docs - 1) / 2
@@ -318,16 +336,6 @@ class ERPipeline(CheckpointedPlan):
                 "reduction_ratio": round(1 - cand_mf["rows"] / total, 6)
                 if total else None,
             })
-        else:
-            conv = json.loads(
-                self._manifest("candidates").read_text()
-            ).get("pairs_convention")
-            if conv != "unordered":
-                raise ValueError(
-                    "run_dir was checkpointed with the pre-halving ordered-"
-                    "pairs convention; resume would double-count matches — "
-                    "start a fresh run_dir"
-                )
 
         if not self.is_complete("scores"):
             model = fit_idf_mapside(docs, "key", cfg.tfidf)

@@ -2476,7 +2476,9 @@ agg AS (
 SELECT n AS n_records,
        sp // n AS bcubed_precision_micro,
        sr // n AS bcubed_recall_micro,
-       (2 * (sp // n) * (sr // n)) // ((sp // n) + (sr // n))
+       CASE WHEN (sp // n) + (sr // n) > 0
+            THEN (2 * (sp // n) * (sr // n)) // ((sp // n) + (sr // n))
+            ELSE 0 END
          AS bcubed_f1_micro
 FROM agg
 """

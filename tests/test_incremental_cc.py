@@ -153,6 +153,27 @@ def test_bcubed_perfect_clustering_is_one(spark):
     assert row.bcubed_f1_micro == 1_000_000
 
 
+def test_bcubed_empty_input_is_null_not_error(spark):
+    """Empty input: n_records = 0 — every ratio must be guarded NULL, not
+    a DIVIDE_BY_ZERO under spark.sql.ansi.enabled=true."""
+    from polyfuzz_spark.metrics import bcubed
+
+    asg = spark.createDataFrame([], "doc_id long, cluster long")
+    lab = spark.createDataFrame([], "doc_id long, label string")
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        row = bcubed(asg, lab).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    # SUM over zero rows is NULL in both engines — n_records stays NULL
+    # (not coalesced to 0) to keep twin semantics with the DuckDB oracle
+    assert row.n_records is None
+    assert row.bcubed_precision_micro is None
+    assert row.bcubed_recall_micro is None
+    assert row.bcubed_f1_micro is None
+
+
 def test_fs_field_stats_exact_counts(spark):
     from polyfuzz_spark.metrics import fs_field_stats
 

@@ -81,6 +81,24 @@ def test_unknown_field_kind_fails_at_plan_time(spark):
         )
 
 
+def test_percent_scale_kernels_normalized_to_unit(spark):
+    """Percent-scale kernels (ratio, WRatio, levenshtein_sim: 0–100) are
+    divided by 100 inside field_score so the weighted sum stays unit
+    scale — FieldSim('fn','tn',0.6,'ratio') on identical strings must
+    contribute 0.6, not 60."""
+    f, t = _sides(spark, [(1, "abc", 5, "x")], [(2, "abc", 9, "x")])
+    out = multifield_score(
+        f, t, ["blk"], [FieldSim("fn", "tn", 0.6, "ratio")]
+    ).collect()[0]
+    assert abs(out.score - 0.6) < 1e-9
+
+    # unit-scale kernels pass through untouched (no double /100)
+    out2 = multifield_score(
+        f, t, ["blk"], [FieldSim("fn", "tn", 0.6, "jaro_winkler_unit")]
+    ).collect()[0]
+    assert abs(out2.score - 0.6) < 1e-9
+
+
 def test_rapidfuzz_matcher_monge_elkan_unit_scale(spark):
     """The matcher path must not /100 the unit-scale kernel (a squashed
     score would empty every match table above any real cutoff)."""

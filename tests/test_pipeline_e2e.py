@@ -107,12 +107,26 @@ def test_resume_refuses_ordered_pairs_run_dir(spark, tmp_path):
     mf_path = pipe._manifest("candidates")
     mf = json.loads(mf_path.read_text())
     del mf["pairs_convention"]
+    # a true legacy manifest predates reduction_ratio too — the guard must
+    # fire even when the same resume also wants the backfill (regression:
+    # the guard once lived in the backfill's else-branch and was skipped
+    # exactly for such run_dirs)
+    mf.pop("reduction_ratio", None)
     mf_path.write_text(json.dumps(mf))
     for stage in ("scores", "matches", "clusters"):
         shutil.rmtree(f"{run_dir}/{stage}")
         pipe._manifest(stage).unlink()
     with pytest.raises(ValueError, match="ordered"):
         ERPipeline(spark, run_dir, CFG).run(corpus=None)
+    # and the guard must NOT have backfilled first: refusal leaves the
+    # legacy manifest untouched for forensics
+    assert "reduction_ratio" not in json.loads(mf_path.read_text())
+
+    # the convention-present path still resumes fine after restoring
+    mf["pairs_convention"] = "unordered"
+    mf_path.write_text(json.dumps(mf))
+    summary = ERPipeline(spark, run_dir, CFG).run(corpus=None)
+    assert all(m["complete"] for m in summary.values())
 
 
 def test_sink_selection_parquet_vs_iceberg(spark, tmp_path):
