@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.ids import content_id128
 from .matchers import BaseSparkMatcher, EmbeddingMatcher, TFIDFMatcher
 
 
@@ -68,19 +69,22 @@ def score_pairs(
             .where(F.col("key").isNotNull())
             .distinct()
         )
-        docs = strings.select(F.xxhash64("key").alias("doc_id"), "key")
+        # 128-bit ids: a 64-bit xxhash64 silently fuses two distinct keys
+        # at corpus scale (functions/ids.py) — and these ids ARE the join
+        # identity for the score attach below
+        docs = strings.select(content_id128("key").alias("doc_id"), "key")
         model = fit_idf_mapside(docs, "key", cfg)
         packed = vectorize_packed_mapside(model, docs, "key").localCheckpoint(
             eager=True
         )
         cand = pairs.select(
-            F.xxhash64(a_col).alias("from_id"),
-            F.xxhash64(b_col).alias("to_id"),
+            content_id128(a_col).alias("from_id"),
+            content_id128(b_col).alias("to_id"),
         ).distinct()
         scored = score_candidates_packed(cand, packed, packed)
         return (
-            pairs.withColumn("from_id", F.xxhash64(a_col))
-            .withColumn("to_id", F.xxhash64(b_col))
+            pairs.withColumn("from_id", content_id128(a_col))
+            .withColumn("to_id", content_id128(b_col))
             .join(scored, ["from_id", "to_id"], "left")
             .withColumn(
                 "similarity", F.round(F.coalesce("sim", F.lit(0.0)), 3)
@@ -131,6 +135,10 @@ class PolyFuzzSpark:
         self.clusters: dict[str, DataFrame] = {}
         self._matchers: dict[str, BaseSparkMatcher] = {}
         self._fit_to = None
+        # per-model to-side of the last match() — wide-format parity needs
+        # the distinct-to count to clamp top_n (reference _utils.py:54-56);
+        # None marks a self-match, where the reference does not clamp
+        self._match_to: dict[str, DataFrame | None] = {}
 
     # ------------------------------------------------------------- match
     def match(self, from_list, to_list=None, top_n: int = 1) -> "PolyFuzzSpark":
@@ -148,6 +156,7 @@ class PolyFuzzSpark:
                 seen[mid] = 0
             self._matchers[mid] = matcher
             self.matches[mid] = matcher.match_df(from_df, to_df)
+            self._match_to[mid] = to_df
         return self
 
     def get_matches(self, model_id: str | None = None):
@@ -496,10 +505,19 @@ class PolyFuzzSpark:
     def matches_pandas(self, model_id: str | None = None) -> pd.DataFrame:
         """Wide From/To/Similarity[/To_k/Similarity_k][/Group] pandas frame,
         positionally ordered by from_id — the reference output shape
-        (``_utils.py:104-124``), for parity tests only."""
-        df = self.get_matches(model_id)
-        if isinstance(df, dict):
-            raise ValueError("multiple models — pass model_id")
+        (``_utils.py:104-124``), for parity tests only.
+
+        Column count follows the reference's clamp (``_utils.py:54-56``):
+        with an explicit to-list, ``top_n`` is clamped to the number of
+        distinct to-strings, and To_k/Similarity_k columns exist for every
+        k ≤ the clamped top_n — rows with no k-th match get
+        ``To_k=None, Similarity_k=0.0`` (the reference's sub-epsilon
+        nulling), never phantom columns beyond the clamp."""
+        if model_id is None:
+            if len(self.matches) != 1:
+                raise ValueError("multiple models — pass model_id")
+            model_id = next(iter(self.matches))
+        df = self.matches[model_id]
         pdf = df.toPandas().sort_values(["from_id", "rank"])
         has_group = "group" in pdf.columns
         base = pdf[pdf["rank"] == 1].set_index("from_id")
@@ -507,13 +525,24 @@ class PolyFuzzSpark:
             {"From": base["from_key"], "To": base["to_key"],
              "Similarity": base["similarity"]}
         )
-        for r in sorted(pdf["rank"].unique()):
-            if r == 1:
-                continue
+        # effective column width: requested top_n, clamped to the
+        # distinct-to count when a to-list was given (self-match: the
+        # reference skips the clamp; ranks ≤ distinct anyway)
+        matcher = self._matchers.get(model_id)
+        eff = int(getattr(matcher, "top_n", 1) or 1)
+        to_df = self._match_to.get(model_id)
+        if to_df is not None:
+            eff = min(eff, to_df.select("key").distinct().count())
+        for r in range(2, eff + 1):
             extra = pdf[pdf["rank"] == r].set_index("from_id")
-            out[f"To_{r}"] = extra["to_key"]
-            out[f"Similarity_{r}"] = extra["similarity"]
-            out[f"Similarity_{r}"] = out[f"Similarity_{r}"].fillna(0.0)
+            if len(extra):
+                out[f"To_{r}"] = extra["to_key"]
+                out[f"Similarity_{r}"] = extra["similarity"].reindex(
+                    out.index
+                ).fillna(0.0)
+            else:
+                out[f"To_{r}"] = None
+                out[f"Similarity_{r}"] = 0.0
         if has_group:
             out["Group"] = base["group"]
         return out.sort_index().reset_index(drop=True)

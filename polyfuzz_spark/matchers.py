@@ -169,6 +169,13 @@ class EmbeddingMatcher(BaseSparkMatcher):
         self.top_n = top_n
         self.lsh_conf = lsh_conf
         self.encoder = encoder
+        # fitted state: the embedded to-side of the last re_train=True
+        # match (reference _embeddings.py:120-133 caches embeddings_to and
+        # reuses it when re_train=False — the production fit/transform
+        # split). Holding the DataFrame keeps the encode lineage; callers
+        # that transform repeatedly get one encode of the corpus, not one
+        # per query batch.
+        self._to_emb: DataFrame | None = None
 
     def _with_embeddings(self, df: DataFrame) -> DataFrame:
         if "embedding" in df.columns:
@@ -190,9 +197,21 @@ class EmbeddingMatcher(BaseSparkMatcher):
                  re_train: bool = True) -> DataFrame:
         from .operators.dense_cosine import embedding_dense_topk
 
-        exclude_self = to_df is None
+        use_fitted = (not re_train) and self._to_emb is not None
+        # the diagonal is excluded only when the effective to-side IS the
+        # from-side (true self-match); a re_train=False transform against
+        # the fitted corpus is a two-list match even with to_df=None
+        exclude_self = to_df is None and not use_fitted
         from_df = self._with_embeddings(from_df)
-        to_eff = self._with_embeddings(to_df) if to_df is not None else from_df
+        if not use_fitted:
+            to_eff = (
+                self._with_embeddings(to_df) if to_df is not None else from_df
+            )
+            # localCheckpoint so the (possibly Python-encoded) to-side is
+            # materialized once and every later transform reuses the
+            # result, not the encode lineage
+            self._to_emb = to_eff.localCheckpoint(eager=True)
+        to_eff = self._to_emb
         topk = embedding_dense_topk(
             from_df, to_eff, k=self.top_n, id_col="doc_id",
             vec_col="embedding", exclude_self=exclude_self,

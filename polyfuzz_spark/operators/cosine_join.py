@@ -230,4 +230,12 @@ def score_candidates_packed(
                 }
             )
 
-    return joined.mapInPandas(gen, schema="from_id long, to_id long, sim double")
+    from ..functions.ids import id_type
+
+    # id types follow the candidate table (long, 128-bit struct, string —
+    # the kernel passes ids through untouched)
+    f_ddl = id_type(candidates, "from_id")
+    t_ddl = id_type(candidates, "to_id")
+    return joined.mapInPandas(
+        gen, schema=f"from_id {f_ddl}, to_id {t_ddl}, sim double"
+    )

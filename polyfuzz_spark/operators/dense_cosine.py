@@ -37,6 +37,60 @@ from pyspark.sql import functions as F
 
 OUT_SCHEMA = "from_id long, to_id long, sim_milli long, rnk int"
 
+
+def _out_schema(id_ddl: str) -> str:
+    """Kernel output schema with the id type the caller actually fed
+    (long, 128-bit struct, string) — see functions/ids.py."""
+    return f"from_id {id_ddl}, to_id {id_ddl}, sim_milli long, rnk int"
+
+
+def _id_codec(values):
+    """Normalize collected id values for the numpy kernels.
+
+    Returns ``(emit, cmp, lookup)``:
+
+    * ``emit`` — ndarray of values to EMIT back through Arrow (dicts for
+      struct ids, the scalars themselves otherwise);
+    * ``cmp`` — array the kernel uses for ``==`` / ``<`` / tie-break
+      sorting: the scalars themselves, or for struct ids their int64 RANK
+      in sorted key order (injective on the corpus, so equality and a
+      deterministic total order survive; comparisons stay vectorized
+      int64 instead of object-dtype tuple comparisons);
+    * ``lookup`` — keyable → rank dict for mapping query-side ids into
+      the same rank space (None for scalar ids; a query id absent from
+      the corpus maps to -1, which never equals a corpus rank).
+    """
+    from ..functions.ids import keyable
+
+    if values and isinstance(values[0], (dict, tuple)) and not isinstance(
+        values[0], str
+    ):
+        keys = [keyable(v) for v in values]
+        order = sorted(range(len(keys)), key=keys.__getitem__)
+        rank = np.empty(len(keys), dtype=np.int64)
+        for pos, i in enumerate(order):
+            rank[i] = pos
+        emit = np.empty(len(values), dtype=object)
+        emit[:] = [
+            v.asDict() if hasattr(v, "asDict") else v for v in values
+        ]
+        return emit, rank, dict(zip(keys, rank))
+    arr = np.asarray(values)
+    return arr, arr, None
+
+
+def _q_cmp(q_vals, lookup):
+    """Query-side ids in the codec's comparison space (see _id_codec)."""
+    if lookup is None:
+        return np.asarray(q_vals)
+    from ..functions.ids import keyable
+
+    return np.fromiter(
+        (lookup.get(keyable(v), -1) for v in q_vals),
+        dtype=np.int64,
+        count=len(q_vals),
+    )
+
 # broadcast budget for the to-side matrix: n_docs × dim float64 must fit
 # comfortably in every executor (and once on the driver). Monkeypatchable in
 # tests to force the scale paths.
@@ -88,7 +142,7 @@ def _topk_batches(
     """mapInPandas kernel: batch matmul → per-row quantized top-k."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        to_ids = bc_ids.value
+        to_emit, to_cmp, lookup = bc_ids.value
         to_mat = bc_mat.value  # (n_to, dim)
         for pdf in batches:
             if not len(pdf):
@@ -96,6 +150,7 @@ def _topk_batches(
             n = len(pdf)
             M = np.zeros((n, to_mat.shape[1]))
             from_ids = pdf["doc_id"].to_numpy()
+            f_cmp = _q_cmp(from_ids, lookup)
             for i, (tids, ws) in enumerate(zip(pdf["tids"], pdf["ws"])):
                 M[i, np.asarray(tids, dtype=np.int64)] = np.asarray(ws)
             sims = M @ to_mat.T
@@ -106,15 +161,16 @@ def _topk_batches(
             for i in range(n):
                 row = milli[i]
                 if exclude_self:
-                    row = np.where(to_ids == from_ids[i], -1, row)
+                    row = np.where(to_cmp == f_cmp[i], -1, row)
                 ok = np.nonzero(row >= min_milli)[0]
                 if not len(ok):
                     continue
                 # (milli desc, to_id asc) — identical tie-break to the
-                # relational window / DuckDB oracle
-                order = ok[np.lexsort((to_ids[ok], -row[ok]))][:k]
+                # relational window / DuckDB oracle (rank order == id
+                # order for struct ids, see _id_codec)
+                order = ok[np.lexsort((to_cmp[ok], -row[ok]))][:k]
                 out_f.extend([from_ids[i]] * len(order))
-                out_t.extend(to_ids[order])
+                out_t.extend(to_emit[order])
                 out_s.extend(row[order])
                 out_r.extend(range(1, len(order) + 1))
             yield pd.DataFrame(
@@ -161,18 +217,20 @@ def tfidf_dense_topk(
         [(t, i) for i, t in enumerate(terms)], "term string, tid int"
     )
     to_rows = _dense_rows(to_vec, term_ids).collect()
-    to_ids = np.array([r["doc_id"] for r in to_rows], dtype=np.int64)
+    codec = _id_codec([r["doc_id"] for r in to_rows])
     to_mat = np.zeros((len(to_rows), dim))
     for i, r in enumerate(to_rows):
         to_mat[i, np.asarray(r["tids"], dtype=np.int64)] = np.asarray(r["ws"])
     sc = spark.sparkContext
-    bc_ids, bc_mat = sc.broadcast(to_ids), sc.broadcast(to_mat)
+    bc_ids, bc_mat = sc.broadcast(codec), sc.broadcast(to_mat)
     min_milli = int(np.floor(round(min_similarity, 3) * 1000 + 0.5)) if (
         min_similarity > 0
     ) else 0
+    from ..functions.ids import id_type
+
     return _spread(_dense_rows(from_vec, term_ids), n_to).mapInPandas(
         _topk_batches(bc_ids, bc_mat, top_n, min_milli, exclude_self),
-        schema=OUT_SCHEMA,
+        schema=_out_schema(id_type(from_vec, "doc_id")),
     )
 
 
@@ -221,14 +279,14 @@ def tfidf_dense_topk_packed_two(
             "(operators.adaptive.tfidf_transform_topk routes it)"
         )
     rows = to_packed.collect()
-    to_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    codec = _id_codec([r["doc_id"] for r in rows])
     to_mat = np.zeros((len(rows), dim))
     for i, r in enumerate(rows):
         to_mat[i, np.asarray(r["t"], dtype=np.int64)] = np.asarray(
             r["w"], dtype=np.float64
         )
     sc = spark.sparkContext
-    bc_ids, bc_mat = sc.broadcast(to_ids), sc.broadcast(to_mat)
+    bc_ids, bc_mat = sc.broadcast(codec), sc.broadcast(to_mat)
     min_milli = int(np.floor(round(min_similarity, 3) * 1000 + 0.5)) if (
         min_similarity > 0
     ) else 0
@@ -238,9 +296,11 @@ def tfidf_dense_topk_packed_two(
         ),
         n_to,
     )
+    from ..functions.ids import id_type
+
     return renamed.mapInPandas(
         _topk_batches(bc_ids, bc_mat, top_n, min_milli, exclude_self),
-        schema=OUT_SCHEMA,
+        schema=_out_schema(id_type(from_packed, "doc_id")),
     )
 
 
@@ -297,34 +357,41 @@ def embedding_near_dup_pairs(
         )
 
     c_rows = normed(corpus).collect()
-    to_ids = np.array([r["doc_id"] for r in c_rows], dtype=np.int64)
+    codec = _id_codec([r["doc_id"] for r in c_rows])
     to_mat = np.array([r["v"] for r in c_rows])
-    bc_ids = spark.sparkContext.broadcast(to_ids)
+    bc_ids = spark.sparkContext.broadcast(codec)
     bc_mat = spark.sparkContext.broadcast(to_mat)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_np = bc_ids.value
+        to_emit, to_cmp, lookup = bc_ids.value
         mat = bc_mat.value
         for pdf in batches:
             if not len(pdf):
                 continue
             q_ids = pdf["doc_id"].to_numpy()
+            q_cmp = _q_cmp(q_ids, lookup)
             Q = np.array([np.asarray(v) for v in pdf["v"]])
             milli = np.floor(Q @ mat.T * 1000 + 0.5).astype(np.int64)
             out_f, out_t, out_c = [], [], []
             for i in range(len(pdf)):
+                # orientation by the codec's total order (== id order for
+                # scalars, rank order for struct ids): each unordered pair
+                # still emits exactly once
                 keep = np.nonzero(
-                    (milli[i] >= min_milli) & (ids_np > q_ids[i])
+                    (milli[i] >= min_milli) & (to_cmp > q_cmp[i])
                 )[0]
                 out_f.extend([q_ids[i]] * len(keep))
-                out_t.extend(ids_np[keep])
+                out_t.extend(to_emit[keep])
                 out_c.extend(milli[i][keep])
             yield pd.DataFrame(
                 {"from_id": out_f, "to_id": out_t, "cos_milli": out_c}
             )
 
+    from ..functions.ids import id_type
+
+    id_ddl = id_type(corpus, id_col)
     return _spread(normed(corpus), n_corpus).mapInPandas(
-        gen, schema="from_id long, to_id long, cos_milli long"
+        gen, schema=f"from_id {id_ddl}, to_id {id_ddl}, cos_milli long"
     )
 
 
@@ -367,18 +434,19 @@ def embedding_dense_topk(
         )
 
     c_rows = normed(corpus).collect()
-    to_ids = np.array([r["doc_id"] for r in c_rows], dtype=np.int64)
+    codec = _id_codec([r["doc_id"] for r in c_rows])
     to_mat = np.array([r["v"] for r in c_rows])
     sc = spark.sparkContext
-    bc_ids, bc_mat = sc.broadcast(to_ids), sc.broadcast(to_mat)
+    bc_ids, bc_mat = sc.broadcast(codec), sc.broadcast(to_mat)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_np = bc_ids.value
+        to_emit, to_cmp, lookup = bc_ids.value
         mat = bc_mat.value
         for pdf in batches:
             if not len(pdf):
                 continue
             q_ids = pdf["doc_id"].to_numpy()
+            q_cmp = _q_cmp(q_ids, lookup)
             Q = np.array([np.asarray(v) for v in pdf["v"]])
             milli = np.floor(Q @ mat.T * 1000 + 0.5).astype(np.int64)
             out = {"query_id": [], "neighbor_id": [], "rank": [],
@@ -388,15 +456,22 @@ def embedding_dense_topk(
                 if exclude_self:
                     # sentinel below any real milli-cosine (≥ -1000); NOT
                     # int64.min, whose negation overflows in the sort key
-                    row = np.where(ids_np == q_ids[i], -(10 ** 9), row)
+                    row = np.where(to_cmp == q_cmp[i], -(10 ** 9), row)
                 keep = np.nonzero(row > -(10 ** 9))[0]
-                order = keep[np.lexsort((ids_np[keep], -row[keep]))][:k]
+                order = keep[np.lexsort((to_cmp[keep], -row[keep]))][:k]
                 out["query_id"].extend([q_ids[i]] * len(order))
-                out["neighbor_id"].extend(ids_np[order])
+                out["neighbor_id"].extend(to_emit[order])
                 out["rank"].extend(range(1, len(order) + 1))
                 out["cos_milli"].extend(row[order])
             yield pd.DataFrame(out)
 
+    from ..functions.ids import id_type
+
+    id_ddl = id_type(queries, id_col)
     return _spread(normed(queries), n_corpus).mapInPandas(
-        gen, schema="query_id long, neighbor_id long, rank int, cos_milli long"
+        gen,
+        schema=(
+            f"query_id {id_ddl}, neighbor_id {id_ddl}, rank int, "
+            "cos_milli long"
+        ),
     )

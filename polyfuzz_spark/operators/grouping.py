@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.ids import content_id128
 from .linkage import connected_components, filter_edges
 
 
@@ -34,8 +35,11 @@ def add_groups(
         .distinct()
     )
     # stable content-derived ids (monotonically_increasing_id is partition-
-    # dependent and non-resumable)
-    strings = strings.select(F.xxhash64("key").alias("doc_id"), "key")
+    # dependent and non-resumable). 128-bit: a 64-bit id silently merges
+    # two distinct strings into one node at ~n²/2⁶⁵ expected collisions —
+    # real at corpus scale (see functions/ids.py); the struct id joins,
+    # groups, windows, and orders exactly like a scalar.
+    strings = strings.select(content_id128("key").alias("doc_id"), "key")
 
     self_matches = grouper.match_df(strings)  # to_df=None → self, diag excluded
     edges = filter_edges(self_matches, link_min_similarity)

@@ -29,6 +29,18 @@ def _norm_vec(df: DataFrame, id_out: str, vec_out: str,
               id_col: str, vec_col: str) -> DataFrame:
     from ..partitioning import ensure_min_partitions
 
+    # the ANN kernels sort/compare ids as int64 numpy arrays; 128-bit
+    # struct ids (functions/ids.py) are supported on the exact dense paths
+    # (dense_cosine._id_codec) but not yet here — refuse loudly rather
+    # than corrupt tie-breaks. ANN callers with struct ids should attach a
+    # scalar surrogate id per bounded bucket, where 64 bits are safe.
+    dt = df.schema[id_col].dataType.typeName()
+    if dt == "struct":
+        raise NotImplementedError(
+            f"ANN top-k does not support struct ids ({id_col}); supply a "
+            "scalar id column (64-bit is collision-safe within bounded "
+            "buckets) or use the exact dense path"
+        )
     vec = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
     # every ANN path feeds this into a numpy mapInPandas kernel — widen

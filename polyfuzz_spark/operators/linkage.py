@@ -132,6 +132,13 @@ def connected_components(
             pd.DataFrame(rows, columns=["key", "representative"]),
             "key string, representative string",
         )
+        # collision semantics: cluster_id is a 64-bit DIGEST of the
+        # representative, kept alongside the authoritative string key —
+        # downstream grouping must use `representative` (or the pair);
+        # a digest collision is recoverable from the carried value and
+        # never merges identities inside this operator (which joins and
+        # folds on the string keys only). See functions/ids.py for where
+        # 128-bit ids are required instead.
         return out.select(
             "key",
             "representative",

@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.ids import id_series, id_type
 from ..functions.ngrams import char_ngrams
 from ..functions.normalize import clean_string
 from ..partitioning import ensure_min_partitions
@@ -158,6 +159,7 @@ def vectorize_packed_mapside(
     within that distance of a .0005 boundary, so oracle-exact-checked paths
     must keep the default float64."""
     spark = docs.sparkSession
+    id_ddl = id_type(docs, id_col)  # long / struct<h1,h2> / string — as fed
     rows = sorted(model.idf.collect(), key=lambda r: r["term"])
     vocab = {r["term"]: (i, r["idf"]) for i, r in enumerate(rows)}
     cfg0 = model.config
@@ -191,10 +193,12 @@ def vectorize_packed_mapside(
             # explicit dtypes: a batch whose docs are ALL gram-less (or out
             # of vocabulary) yields zero rows, and pandas would type the
             # empty t/w columns float64 — Arrow then refuses the
-            # float64→list<int> conversion (NumPyConverter) even at 0 rows
+            # float64→list<int> conversion (NumPyConverter) even at 0 rows.
+            # id dtype follows the input id type (128-bit struct ids and
+            # string keys ride as objects).
             return pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": id_series(ids, id_ddl),
                     "t": pd.Series(ts, dtype="object"),
                     "w": pd.Series(ws, dtype="object"),
                 }
@@ -278,7 +282,7 @@ def vectorize_packed_mapside(
 
     w_type = "float" if compact else "double"
     return ensure_min_partitions(docs.select(id_col, key_col)).mapInPandas(
-        gen, schema=f"doc_id long, t array<int>, w array<{w_type}>"
+        gen, schema=f"doc_id {id_ddl}, t array<int>, w array<{w_type}>"
     )
 
 
@@ -433,6 +437,7 @@ def minhash_bands_mapside(
     B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
     A2 = (rng.integers(0, 2**63, size=rows_per_band, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     spark = docs.sparkSession
+    id_ddl = id_type(docs, id_col)
     batched = cfg.clean_string and cfg.n_gram_range[1] <= 8
     bc = spark.sparkContext.broadcast(
         (A, B, A2, cfg, bands, rows_per_band, batched)
@@ -449,10 +454,11 @@ def minhash_bands_mapside(
                 )
                 if not len(idx):
                     yield pd.DataFrame(
-                        {"doc_id": [], "band": [], "band_key": []}
-                    ).astype(
-                        {"doc_id": "int64", "band": "int32",
-                         "band_key": "int64"}
+                        {
+                            "doc_id": id_series([], id_ddl),
+                            "band": pd.Series([], dtype="int32"),
+                            "band_key": pd.Series([], dtype="int64"),
+                        }
                     )
                     continue
                 with np.errstate(over="ignore"):
@@ -490,7 +496,7 @@ def minhash_bands_mapside(
             )
 
     return ensure_min_partitions(docs.select(id_col, key_col)).mapInPandas(
-        gen, schema="doc_id long, band int, band_key long"
+        gen, schema=f"doc_id {id_type(docs, id_col)}, band int, band_key long"
     )
 
 

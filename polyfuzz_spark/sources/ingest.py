@@ -10,8 +10,10 @@ input_hint table::
 
 Spark-first shape: one ``spark.read`` with an EXPLICIT schema (never
 inferSchema — a second full scan at corpus scale), column projection pushed
-to the scan, ``doc_id`` content-derived (``xxhash64(repo, path, commit)`` —
-deterministic under any partitioning, no ``monotonically_increasing_id``),
+to the scan, ``doc_id`` content-derived (``content_id128(repo, path,
+commit)`` — a 128-bit two-lane xxhash64 struct, deterministic under any
+partitioning, no ``monotonically_increasing_id``, collision-safe at the
+10^12-file target),
 and the sha256 lineage column computed at ingest when the source lacks it.
 Validation failures (missing columns) raise before any job runs.
 """
@@ -20,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.ids import content_id128
 
 REQUIRED = ("repo", "path", "commit", "lang", "content")
 
@@ -112,8 +116,9 @@ def read_corpus(
 
     * schema errors surface eagerly (missing required columns raise
       ValueError naming them);
-    * ``doc_id`` is reused when present, else derived as
-      ``xxhash64(repo, path, commit)``;
+    * ``doc_id`` is reused when present, else derived as the 128-bit
+      ``content_id128(repo, path, commit)`` struct (collision-safe at
+      10^12 files; see ``functions/ids.py``);
     * ``content_sha256`` is reused when present (and later enforced by
       ``assert_sha256_invariant``), else computed here — either way every
       downstream checkpoint can assert the per-row invariant.
@@ -143,7 +148,11 @@ def read_corpus(
     if "doc_id" in df.columns:
         doc_id = F.col("doc_id").cast("long")
     else:
-        doc_id = F.xxhash64("repo", "path", "commit")
+        # 128-bit struct<h1,h2>: at the 10^12-file design target a single
+        # xxhash64 id has ~n²/2⁶⁵ expected collisions — tens of thousands
+        # of silent file-identity merges; two lanes make it ~1.5e-15
+        # (functions/ids.py). Joins/groupBy/windows take the struct as-is.
+        doc_id = content_id128("repo", "path", "commit")
     if "content_sha256" in df.columns:
         sha = F.col("content_sha256")
     else:

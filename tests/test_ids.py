@@ -1,0 +1,142 @@
+"""128-bit content ids (functions/ids.py): determinism, lane independence,
+and end-to-end flow of the struct id through the match/group machinery
+(joins, windows, salting hash expressions all take struct keys)."""
+
+from pyspark.sql import functions as F
+
+from polyfuzz_spark.functions.ids import content_id128
+
+
+def test_deterministic_and_partition_independent(spark):
+    rows = [(f"key-{i}",) for i in range(200)]
+    a = spark.createDataFrame(rows, "key string").repartition(2)
+    b = spark.createDataFrame(rows, "key string").repartition(13)
+    ida = a.select("key", content_id128("key").alias("id")).collect()
+    idb = b.select("key", content_id128("key").alias("id")).collect()
+    assert {(r.key, tuple(r.id)) for r in ida} == {
+        (r.key, tuple(r.id)) for r in idb
+    }
+
+
+def test_lanes_are_independent(spark):
+    """h1 == h2 for the same input would mean the salt lane collapsed —
+    the second lane must be a different 64-bit stream."""
+    df = spark.range(1000).select(
+        content_id128(F.col("id").cast("string")).alias("cid")
+    )
+    same = df.where(F.col("cid.h1") == F.col("cid.h2")).count()
+    assert same == 0
+    # and each lane is individually collision-free on this sample
+    assert df.select("cid.h1").distinct().count() == 1000
+    assert df.select("cid.h2").distinct().count() == 1000
+
+
+def test_multi_column_id_differs_from_concat_ambiguity(spark):
+    """("ab","c") and ("a","bc") must hash differently — xxhash64 over
+    multiple columns is not a plain concat."""
+    df = spark.createDataFrame(
+        [("ab", "c"), ("a", "bc")], "x string, y string"
+    )
+    ids = df.select(content_id128("x", "y").alias("id")).collect()
+    assert tuple(ids[0].id) != tuple(ids[1].id)
+
+
+def test_struct_id_flows_through_group_path(spark):
+    """add_groups derives struct doc_ids internally; the full TF-IDF
+    grouper path (vectorize → cosine → window top-n → CC) must run and
+    produce the same groups as before the id widening."""
+    from polyfuzz_spark.api import PolyFuzzSpark
+
+    m = PolyFuzzSpark("TF-IDF", spark).match(
+        ["apple", "apples", "appl", "mouse", "house"],
+        ["apple", "apples", "mouse", "house"],
+    )
+    m.group(link_min_similarity=0.75)
+    wide = m.matches_pandas()
+    assert "Group" in wide.columns
+    rows = {r.From: r.Group for r in wide.itertuples()}
+    # apple/apples cluster together under their min representative
+    assert rows["apple"] == rows["apples"] == "apple"
+
+
+def test_struct_ids_through_dense_embedding_kernel(spark):
+    """The dense embedding top-k kernel must produce the same neighbor
+    structure under struct ids as under long ids (rank-based codec:
+    equality, exclude-self, and tie-breaks all survive the id widening)."""
+    from polyfuzz_spark.operators.dense_cosine import embedding_dense_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.6, 0.8]),
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    structed = base.select(
+        content_id128(F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    long_out = {
+        (r.query_id, r.neighbor_id, r.cos_milli)
+        for r in embedding_dense_topk(
+            base, base, k=1, exclude_self=True
+        ).collect()
+    }
+    id_of = {
+        r.vec_id: tuple(r.cid)
+        for r in base.select(
+            "vec_id",
+            content_id128(F.col("vec_id").cast("string")).alias("cid"),
+        ).collect()
+    }
+    struct_out = {
+        (tuple(r.query_id), tuple(r.neighbor_id), r.cos_milli)
+        for r in embedding_dense_topk(
+            structed, structed, k=1, exclude_self=True
+        ).collect()
+    }
+    assert struct_out == {
+        (id_of[q], id_of[n], c) for q, n, c in long_out
+    }
+
+
+def test_struct_ids_refused_by_ann_paths(spark):
+    import pytest
+
+    from polyfuzz_spark.operators.knn import lsh_cosine_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    ).select(
+        content_id128(F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    with pytest.raises(NotImplementedError, match="struct ids"):
+        lsh_cosine_topk(df, df, k=1, dim=2)
+
+
+def test_read_corpus_derived_id_is_128bit_struct(spark, tmp_path):
+    """read_corpus without a doc_id column derives the struct id — unique
+    per (repo, path, commit) and stable across re-reads."""
+    import pandas as pd
+
+    from polyfuzz_spark.sources.ingest import read_corpus
+
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r1", "r1", "r2"],
+            "path": ["a.py", "b.py", "a.py"],
+            "commit": ["c1", "c1", "c1"],
+            "lang": ["py"] * 3,
+            "content": ["x", "y", "x"],
+        }
+    )
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(pdf).write.parquet(p)
+    got = read_corpus(spark, p, "parquet")
+    field = dict(zip(got.schema.names, got.schema.fields))["doc_id"]
+    assert {f.name for f in field.dataType.fields} == {"h1", "h2"}
+    ids = [tuple(r.doc_id) for r in got.collect()]
+    assert len(set(ids)) == 3
+    again = [tuple(r.doc_id) for r in read_corpus(spark, p, "parquet").collect()]
+    assert set(ids) == set(again)

@@ -88,6 +88,40 @@ def test_top_n(spark, from_list, to_list):
     assert 0 < rows["apple"].Similarity_2 < 1
 
 
+def test_top_n_clamped_to_distinct_to_count(spark, from_list, to_list):
+    """Reference _utils.py:54-56: top_n = min(top_n, |set(to_list)|) —
+    asking for top_n=5 against 3 distinct to-strings yields exactly
+    To_2/To_3 wide columns (never To_4/To_5), with To_k=None /
+    Similarity_k=0.0 where a row has no k-th match."""
+    m = PolyFuzzSpark("TF-IDF", spark).match(from_list, to_list, top_n=5)
+    wide = m.matches_pandas()
+    assert list(wide.columns) == [
+        "From", "To", "Similarity",
+        "To_2", "Similarity_2", "To_3", "Similarity_3",
+    ]
+    rows = {r.From: r for r in wide.itertuples()}
+    # unmatched from-strings pad the full width with None/0.0
+    assert rows["recal"].To_2 is None or rows["recal"].To_2 != rows["recal"].To_2
+    assert rows["recal"].Similarity_2 == 0.0
+    assert rows["recal"].Similarity_3 == 0.0
+
+
+def test_top_n_columns_exist_even_when_no_row_reaches_rank(spark):
+    """A high cutoff can leave every row with at most one match; the wide
+    frame must still materialize the full clamped width (reference builds
+    columns from top_n, not from observed ranks)."""
+    m = PolyFuzzSpark("TF-IDF", spark).match(
+        ["apple"], ["apple", "mouse", "bolt"], top_n=2
+    )
+    wide = m.matches_pandas()
+    assert list(wide.columns) == [
+        "From", "To", "Similarity", "To_2", "Similarity_2"
+    ]
+    assert wide.Similarity_2.tolist() == [0.0] or (
+        0.0 <= wide.Similarity_2.iloc[0] < 1.0
+    )
+
+
 def test_zero_ngram_strings_get_null(spark):
     # strings shorter than n after cleaning → zero vector → None/0.0
     df = _matches(spark, ["ab", "apple"], ["apple", "apples"])

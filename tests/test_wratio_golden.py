@@ -121,6 +121,89 @@ def test_ratio_matches_lcs_formula(a, b):
     assert math.isclose(ratio(a, b), exp, abs_tol=1e-9)
 
 
+def test_adversarial_frozen_goldens():
+    """78 adversarial pairs (window embeds, mid-window alignments, branch
+    boundaries, unicode width/normalization, token dups — see
+    tests/wratio_adversarial.py) pinned to FROZEN values: a kernel
+    regression is an exact diff here, never silent recall drift. Update
+    path: refreeze() after an intentional change, then review the diff."""
+    import json
+
+    from tests.wratio_adversarial import FROZEN, generate_pairs
+
+    rows = json.loads(FROZEN.read_text())
+    regen = generate_pairs()
+    assert [(r["kind"], r["a"], r["b"]) for r in rows] == regen, (
+        "generator drifted from the frozen corpus — refreeze() and review"
+    )
+    for r in rows:
+        assert math.isclose(
+            wratio(r["a"], r["b"]), r["wratio"], abs_tol=1e-9
+        ), (r["kind"], r["a"], r["b"], wratio(r["a"], r["b"]), r["wratio"])
+        assert math.isclose(
+            partial_ratio(r["a"], r["b"]), r["partial_ratio"], abs_tol=1e-9
+        ), (r["kind"], r["a"], r["b"])
+
+
+def _exhaustive_partial_ratio(a: str, b: str) -> float:
+    """Reference implementation: ratio of the shorter string against EVERY
+    same-length window of the longer — the upper bound the block heuristic
+    approximates."""
+    if not a or not b:
+        return 100.0 if a == b else 0.0
+    short, long = (a, b) if len(a) <= len(b) else (b, a)
+    if len(short) == len(long):
+        return ratio(short, long)
+    return max(
+        ratio(short, long[o: o + len(short)])
+        for o in range(len(long) - len(short) + 1)
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT, TEXT)
+def test_partial_ratio_vs_exhaustive_slide(a, b):
+    """Differential: the block heuristic never EXCEEDS the exhaustive
+    slide, and embedded substrings always reach 100 (the heuristic's
+    offset set contains every first-alignment window, so a verbatim embed
+    is always found)."""
+    h = partial_ratio(a, b)
+    e = _exhaustive_partial_ratio(a, b)
+    assert h <= e + 1e-9, (a, b, h, e)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    TEXT.filter(lambda s: len(s) >= 2),
+    st.integers(min_value=0, max_value=30),
+    st.integers(min_value=0, max_value=30),
+)
+def test_embedded_substring_scores_100(s, nl, nr):
+    long = "z" * nl + s + "z" * nr
+    assert partial_ratio(s, long) == 100.0
+
+
+UNICODE_TEXT = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0xFFFF,
+        blacklist_categories=("Cs",),  # no lone surrogates
+    ),
+    max_size=20,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(UNICODE_TEXT, UNICODE_TEXT)
+def test_wratio_unicode_bounds_and_symmetry(a, b):
+    """Full-BMP fuzz: combining marks, wide forms, CJK — bounds, symmetry
+    and identity must hold on code-point semantics (len() space)."""
+    w = wratio(a, b)
+    assert 0.0 <= w <= 100.0
+    assert math.isclose(w, wratio(b, a), abs_tol=1e-9)
+    if a:
+        assert wratio(a, a) == 100.0
+
+
 def test_wratio_goldens_cover_every_branch_line():
     """Trace-based branch audit (VERDICT r02 item 8): the golden table must
     execute EVERY line of the wratio composite — empty guard, the <1.5
