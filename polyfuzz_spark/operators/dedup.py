@@ -282,7 +282,16 @@ def _tiny_vocab_route(
     them. The one hazard is the distinct-set route's term-id map, which
     needs the EXACT vocabulary ≤ its cap — re-checked by
     ``_vocab_if_small`` (bounded limit-collect), falling through to the
-    join path when the sketch undershot."""
+    join path when the sketch undershot.
+
+    Deliberately NO up-front localCheckpoint of ``g`` (measured, r04): the
+    gate agg is map-side HLL over the unmaterialized explode lineage and
+    the dense kernel's incidence collect projects/aggregates through the
+    same lineage — materializing the full distinct gram table first
+    (~10M rows at sf0.1) made ``containment_dups`` 3.0→12.3 s and
+    ``dedup_against`` 3.7→5.0 s. Only the routes that consume ``g`` from
+    MULTIPLE sides downstream (distinct-set kernel, banded verify joins)
+    checkpoint it, at their branch."""
     nv, nd = g.agg(
         F.approx_count_distinct("term", rsd=0.02),
         F.approx_count_distinct("doc_id", rsd=0.02),

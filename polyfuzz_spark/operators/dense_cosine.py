@@ -322,9 +322,14 @@ def embedding_near_dup_pairs(
     documented ANN tradeoff; precision stays 1 because scores are exact).
     """
     spark = corpus.sparkSession
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first else 0
-    n_corpus = corpus.count()
+    # ONE stats job for the broadcast gate (count + dim together): these
+    # small legs are scheduling-overhead-bound, every extra job is ~0.5 s
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col))).alias("d"),
+    ).first()
+    n_corpus = int(stats["n"])
+    dim = int(stats["d"]) if stats["d"] is not None else 0
     min_milli = int(round(threshold * 1000))
     if not fits_broadcast(n_corpus, dim):
         from .knn import lsh_cosine_topk
@@ -356,9 +361,11 @@ def embedding_near_dup_pairs(
             F.transform(vec, lambda x: x / nrm).alias("v"),
         )
 
-    c_rows = normed(corpus).collect()
-    codec = _id_codec([r["doc_id"] for r in c_rows])
-    to_mat = np.array([r["v"] for r in c_rows])
+    # Arrow collect (toPandas): ~an order of magnitude cheaper than Row
+    # deserialization for the fixed-width vector matrix
+    c_pdf = normed(corpus).toPandas()
+    codec = _id_codec(list(c_pdf["doc_id"]))
+    to_mat = np.array(c_pdf["v"].tolist())
     bc_ids = spark.sparkContext.broadcast(codec)
     bc_mat = spark.sparkContext.broadcast(to_mat)
 
@@ -414,9 +421,13 @@ def embedding_dense_topk(
     the documented 100 TB shape). ``lsh_conf`` tunes that fallback
     (n_planes/n_tables/seed)."""
     spark = queries.sparkSession
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first else 0
-    n_corpus = corpus.count()
+    # ONE stats job (count + dim) — see embedding_near_dup_pairs
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col))).alias("d"),
+    ).first()
+    n_corpus = int(stats["n"])
+    dim = int(stats["d"]) if stats["d"] is not None else 0
     if not fits_broadcast(n_corpus, dim):
         from .knn import lsh_cosine_topk
 
@@ -433,9 +444,9 @@ def embedding_dense_topk(
             F.transform(vec, lambda x: x / nrm).alias("v"),
         )
 
-    c_rows = normed(corpus).collect()
-    codec = _id_codec([r["doc_id"] for r in c_rows])
-    to_mat = np.array([r["v"] for r in c_rows])
+    c_pdf = normed(corpus).toPandas()  # Arrow collect, see near_dup twin
+    codec = _id_codec(list(c_pdf["doc_id"]))
+    to_mat = np.array(c_pdf["v"].tolist())
     sc = spark.sparkContext
     bc_ids, bc_mat = sc.broadcast(codec), sc.broadcast(to_mat)
 
