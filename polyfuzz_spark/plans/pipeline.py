@@ -357,19 +357,51 @@ class ERPipeline(CheckpointedPlan):
 
         if not self.is_complete("clusters"):
             matches = self.read("matches")
+            id_is_long = (
+                matches.schema["from_id"].dataType.simpleString() == "bigint"
+            )
+            if id_is_long:
+                key_of = lambda c: F.col(c).cast("string")
+            else:
+                # 128-bit struct ids (functions/ids.py) don't cast to
+                # string/long: CC runs on a canonical JSON key (field
+                # order = schema order, deterministic) and the original
+                # ids are restored by joining the ingest mapping back —
+                # works for ANY id type, at the cost of two broadcast-able
+                # dimension joins on this stage only
+                key_of = lambda c: F.to_json(F.col(c))
             edges = filter_edges(
                 matches.select(
-                    F.col("from_id").cast("string").alias("from_key"),
-                    F.col("to_id").cast("string").alias("to_key"),
+                    key_of("from_id").alias("from_key"),
+                    key_of("to_id").alias("to_key"),
                     "similarity",
                 ),
                 cfg.link_min_similarity,
             )
-            assignments = connected_components(edges).select(
-                F.col("key").cast("long").alias("doc_id"),
-                "cluster_id",
-                F.col("representative").cast("long").alias("rep_doc_id"),
-            )
+            cc = connected_components(edges)
+            if id_is_long:
+                assignments = cc.select(
+                    F.col("key").cast("long").alias("doc_id"),
+                    "cluster_id",
+                    F.col("representative").cast("long").alias("rep_doc_id"),
+                )
+            else:
+                ids = self.read("ingest").select(
+                    F.col("doc_id"),
+                    F.to_json(F.col("doc_id")).alias("__k"),
+                ).distinct()
+                assignments = (
+                    cc.join(ids, cc["key"] == ids["__k"])
+                    .select("doc_id", "cluster_id", "representative")
+                    .join(
+                        ids.select(
+                            F.col("doc_id").alias("rep_doc_id"),
+                            F.col("__k").alias("__rk"),
+                        ),
+                        F.col("representative") == F.col("__rk"),
+                    )
+                    .select("doc_id", "cluster_id", "rep_doc_id")
+                )
             self._checkpoint("clusters", assignments)
 
         if not self.is_complete("survivors"):

@@ -54,9 +54,13 @@ def main() -> None:
             p.error("pass --corpus or --synth-entities")
         corpus = spark.read.parquet(args.corpus)
         if "doc_id" not in corpus.columns:
-            # content-derived id: deterministic under any partitioning
+            # 128-bit content-derived id: deterministic under any
+            # partitioning, collision-safe at the 10^12-file target
+            # (functions/ids.py)
+            from polyfuzz_spark.functions.ids import content_id128
+
             corpus = corpus.withColumn(
-                "doc_id", F.xxhash64("repo", "path", "commit")
+                "doc_id", content_id128("repo", "path", "commit")
             )
 
     cfg = ERConfig(

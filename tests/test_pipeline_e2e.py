@@ -129,6 +129,49 @@ def test_resume_refuses_ordered_pairs_run_dir(spark, tmp_path):
     assert all(m["complete"] for m in summary.values())
 
 
+def test_pipeline_accepts_struct_ids(spark, tmp_path):
+    """A corpus whose doc_id is the 128-bit content_id128 struct (the
+    read_corpus derived-id shape) must run the full pipeline: the cluster
+    stage joins the ingest mapping back instead of casting ids to long."""
+    import pandas as pd
+
+    from polyfuzz_spark.functions.ids import content_id128
+
+    pdf = pd.DataFrame(
+        {
+            "repo": [f"r{i % 3}" for i in range(30)],
+            "path": [f"f{i}.py" for i in range(30)],
+            "commit": ["c1"] * 30,
+            "lang": ["py"] * 30,
+            "content": [f"def fn_{i % 10}(): return {i % 10}" for i in
+                        range(30)],
+        }
+    )
+    corpus = spark.createDataFrame(pdf).withColumn(
+        "doc_id", content_id128("repo", "path", "commit")
+    )
+    pipe = ERPipeline(
+        spark, str(tmp_path / "er"),
+        ERConfig(min_similarity=0.8, link_min_similarity=0.8),
+    )
+    summary = pipe.run(corpus)
+    assert all(m["complete"] for m in summary.values())
+    clusters = pipe.read("clusters")
+    # id fidelity survives the string-key round trip: every clustered
+    # doc_id exists in ingest, rep ids are real doc ids
+    f = dict(zip(clusters.schema.names, clusters.schema.fields))
+    assert f["doc_id"].dataType.typeName() == "struct"
+    assert f["rep_doc_id"].dataType.typeName() == "struct"
+    ingest_ids = {
+        tuple(r.doc_id) for r in pipe.read("ingest").select("doc_id").collect()
+    }
+    for r in clusters.collect():
+        assert tuple(r.doc_id) in ingest_ids
+        assert tuple(r.rep_doc_id) in ingest_ids
+    # 10 distinct contents → identical-content groups collapse to 10
+    assert pipe.read("survivors").count() == 10
+
+
 def test_sink_selection_parquet_vs_iceberg(spark, tmp_path):
     """The stage sink is one switch: no prefix → parquet under run_dir;
     a catalog prefix → DataFrameWriterV2 writeTo(createOrReplace) + read
