@@ -45,6 +45,51 @@ def _host_cpu() -> tuple[float, float]:
         return 0.0, 0.0
 
 
+def _tree_cpu() -> float:
+    """CPU seconds consumed by THIS process tree (bench driver + JVM +
+    Python workers), summed from /proc/<pid>/stat over all descendants
+    plus already-reaped children (getrusage). Unlike the machine-wide
+    /proc/stat delta this is insensitive to other tenants on the box —
+    the honest scaling-efficiency denominator when the host is busy
+    (cache-contention inflation remains, but not foreign work)."""
+    import resource
+
+    hz = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    me = os.getpid()
+    pending = [me]
+    children: dict[int, list[int]] = {}
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    parts = fh.read().rsplit(")", 1)[1].split()
+                ppid = int(parts[1])
+                children.setdefault(ppid, []).append(int(pid))
+            except (OSError, IndexError, ValueError):
+                continue
+        while pending:
+            pid = pending.pop()
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    parts = fh.read().rsplit(")", 1)[1].split()
+                total += (int(parts[11]) + int(parts[12])) / hz  # utime+stime
+            except (OSError, IndexError, ValueError):
+                pass
+            pending.extend(children.get(pid, []))
+    except OSError:
+        pass
+    ru_s = resource.getrusage(resource.RUSAGE_SELF)
+    ru_c = resource.getrusage(resource.RUSAGE_CHILDREN)
+    # RUSAGE covers the driver's own and reaped-children time exactly;
+    # the /proc walk already covered self+live children, so take the max
+    # of the two accountings rather than double-count
+    return max(total, ru_s.ru_utime + ru_s.ru_stime + ru_c.ru_utime
+               + ru_c.ru_stime)
+
+
 def _force(df) -> int:
     """Fully execute a plan (noop sink — no driver collect, no skipped stages)
     and return the row count via a cheap second action on the cached result."""
@@ -273,6 +318,10 @@ def main() -> None:
             / max((wall1 - wall0) * (os.cpu_count() or 1), 1e-9),
             4,
         ),
+        # CPU seconds of THIS process tree only (driver + JVM + Python
+        # workers) — foreign-tenant-insensitive; the scaling-efficiency
+        # denominator when host_cpu_sec >> our own work
+        "tree_cpu_sec": round(_tree_cpu(), 1),
     }
     if er is not None:
         out.update({
