@@ -431,6 +431,43 @@ def embedding_dense_topk(
     if not fits_broadcast(n_corpus, dim):
         from .knn import lsh_cosine_topk
 
+        if corpus.schema[id_col].dataType.typeName() == "struct":
+            # ANN kernels need scalar ids: bridge 128-bit struct ids with
+            # a 64-bit SURROGATE (xxhash64 of the canonical JSON key) and
+            # join the original ids back onto the result. Surrogate
+            # collisions mis-attribute a neighbor with p ≈ n²/2⁶⁵ —
+            # negligible against the fallback's own recall < 1 contract
+            # (the EXACT paths never do this; they carry the full id).
+            surr = lambda c: F.xxhash64(F.to_json(F.col(c)))
+            q2 = queries.select(
+                surr(id_col).alias(id_col), F.col(vec_col)
+            )
+            c2 = (
+                q2 if queries is corpus
+                else corpus.select(
+                    surr(id_col).alias(id_col), F.col(vec_col)
+                )
+            )
+            topk = lsh_cosine_topk(
+                q2, c2, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
+                exclude_self=exclude_self, **(lsh_conf or {}),
+            )
+            qmap = queries.select(
+                surr(id_col).alias("__qs"), F.col(id_col).alias("__qid")
+            ).distinct()
+            cmap = corpus.select(
+                surr(id_col).alias("__cs"), F.col(id_col).alias("__cid")
+            ).distinct()
+            return (
+                topk.join(qmap, topk["query_id"] == qmap["__qs"])
+                .join(cmap, topk["neighbor_id"] == cmap["__cs"])
+                .select(
+                    F.col("__qid").alias("query_id"),
+                    F.col("__cid").alias("neighbor_id"),
+                    "rank",
+                    "cos_milli",
+                )
+            )
         return lsh_cosine_topk(
             queries, corpus, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
             exclude_self=exclude_self, **(lsh_conf or {}),

@@ -115,6 +115,37 @@ def test_struct_ids_refused_by_ann_paths(spark):
         lsh_cosine_topk(df, df, k=1, dim=2)
 
 
+def test_struct_ids_bridge_the_lsh_fallback(spark, monkeypatch):
+    """Over the broadcast budget, embedding_dense_topk bridges struct ids
+    through a 64-bit surrogate into the LSH path and restores the
+    original struct ids on the way out."""
+    from polyfuzz_spark.operators import dense_cosine as dc
+
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1)]) for i in
+            range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select(
+        content_id128(F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    monkeypatch.setattr(dc, "BROADCAST_MAX_DOCS", 10)  # force fallback
+    out = dc.embedding_dense_topk(
+        df, df, k=2, exclude_self=True,
+        lsh_conf={"n_planes": 2, "n_tables": 4},
+    )
+    f = dict(zip(out.schema.names, out.schema.fields))
+    assert f["query_id"].dataType.typeName() == "struct"
+    assert f["neighbor_id"].dataType.typeName() == "struct"
+    got = out.collect()
+    assert got, "LSH fallback returned nothing"
+    valid = {tuple(r.vec_id) for r in df.select("vec_id").collect()}
+    for r in got:
+        assert tuple(r.query_id) in valid
+        assert tuple(r.neighbor_id) in valid
+        assert tuple(r.query_id) != tuple(r.neighbor_id)
+
+
 def test_read_corpus_derived_id_is_128bit_struct(spark, tmp_path):
     """read_corpus without a doc_id column derives the struct id — unique
     per (repo, path, commit) and stable across re-reads."""
