@@ -146,6 +146,25 @@ def test_struct_ids_bridge_the_lsh_fallback(spark, monkeypatch):
         assert tuple(r.query_id) != tuple(r.neighbor_id)
 
 
+def test_id_codec_rank_semantics():
+    """dense_cosine._id_codec (pure python): struct ids map to ranks that
+    preserve equality and total order; scalar ids pass through; query-side
+    ids absent from the corpus map to -1 (never equal to a rank)."""
+    from polyfuzz_spark.operators.dense_cosine import _id_codec, _q_cmp
+
+    vals = [{"h1": 3, "h2": 9}, {"h1": 1, "h2": 5}, {"h1": 3, "h2": 1}]
+    emit, cmp_, lookup = _id_codec(vals)
+    assert list(emit) == vals
+    # sorted key order: (1,5) < (3,1) < (3,9) → ranks 1,?,? per position
+    assert list(cmp_) == [2, 0, 1]
+    q = _q_cmp([{"h1": 3, "h2": 1}, {"h1": 7, "h2": 7}], lookup)
+    assert list(q) == [1, -1]
+
+    emit2, cmp2, lk2 = _id_codec([5, 3, 9])
+    assert lk2 is None and list(cmp2) == [5, 3, 9]
+    assert list(_q_cmp([9, 5], lk2)) == [9, 5]
+
+
 def test_read_corpus_derived_id_is_128bit_struct(spark, tmp_path):
     """read_corpus without a doc_id column derives the struct id — unique
     per (repo, path, commit) and stable across re-reads."""
