@@ -26,8 +26,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# second-lane salt: any fixed odd 64-bit constant gives an independent
-# xxhash64 stream (here: the 64-bit golden-ratio constant, as signed)
+# second-lane salt: a fixed odd 64-bit constant (the 64-bit golden-ratio
+# constant, as signed). The salt MUST be hashed FIRST: Spark's multi-arg
+# xxhash64 chains columns through one 64-bit running state, so a trailing
+# salt gives xxhash64(*cs, SALT) == hashLong(SALT, seed=xxhash64(*cs)) —
+# lane 2 becomes a pure function of lane 1 and any h1 collision implies an
+# h2 collision (the struct would have only 64-bit resistance). Hashing the
+# salt first re-seeds the chain before the first data column, so the two
+# lanes evolve from different states over the same inputs.
 _LANE2_SALT = -7046029254386353131
 
 
@@ -75,5 +81,5 @@ def content_id128(*cols: str | Column) -> Column:
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     return F.struct(
         F.xxhash64(*cs).alias("h1"),
-        F.xxhash64(*cs, F.lit(_LANE2_SALT)).alias("h2"),
+        F.xxhash64(F.lit(_LANE2_SALT), *cs).alias("h2"),
     )

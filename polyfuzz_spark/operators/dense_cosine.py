@@ -108,6 +108,80 @@ def fits_broadcast(n_docs: int, dim: int) -> bool:
     )
 
 
+def _surrogate_expr(c: str):
+    """64-bit scalar surrogate for a struct id: xxhash64 of its canonical
+    JSON. Module-level so tests can monkeypatch a collision-prone stand-in
+    to exercise the injectivity guard."""
+    return F.xxhash64(F.to_json(F.col(c)))
+
+
+def _assert_surrogate_injective(mp: DataFrame, surr_col: str, side: str):
+    """One cheap agg on the (surrogate, original-id) map: count ==
+    countDistinct(surrogate). A surrogate collision would fan out the
+    restore join (two original ids claiming one surrogate row) — make
+    that impossible instead of p ≈ n²/2⁶⁵-unlikely."""
+    row = mp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(surr_col).alias("d"),
+    ).first()
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"64-bit id surrogate collided on the {side} side "
+            f"({row['n']} ids -> {row['d']} surrogates); rerun the exact "
+            "dense path or raise the broadcast budget"
+        )
+
+
+def _lsh_topk_struct_bridged(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+    lsh_conf: dict | None,
+) -> DataFrame:
+    """LSH top-k for STRUCT-id inputs: the ANN kernels need scalar ids, so
+    bridge the 128-bit struct through a 64-bit surrogate
+    (``_surrogate_expr``), run ``knn.lsh_cosine_topk``, and join the
+    original struct ids back on. The surrogate maps are guarded injective
+    (``_assert_surrogate_injective``) so a collision raises instead of
+    silently fanning out the restore join. The EXACT dense paths never do
+    this — they carry the full id through the codec."""
+    from .knn import lsh_cosine_topk
+
+    q2 = queries.select(_surrogate_expr(id_col).alias(id_col), F.col(vec_col))
+    c2 = (
+        q2
+        if queries is corpus
+        else corpus.select(_surrogate_expr(id_col).alias(id_col), F.col(vec_col))
+    )
+    topk = lsh_cosine_topk(
+        q2, c2, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
+        exclude_self=exclude_self, **(lsh_conf or {}),
+    )
+    qmap = queries.select(
+        _surrogate_expr(id_col).alias("__qs"), F.col(id_col).alias("__qid")
+    ).distinct()
+    cmap = corpus.select(
+        _surrogate_expr(id_col).alias("__cs"), F.col(id_col).alias("__cid")
+    ).distinct()
+    _assert_surrogate_injective(qmap, "__qs", "query")
+    _assert_surrogate_injective(cmap, "__cs", "corpus")
+    return (
+        topk.join(qmap, topk["query_id"] == qmap["__qs"])
+        .join(cmap, topk["neighbor_id"] == cmap["__cs"])
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("neighbor_id"),
+            "rank",
+            "cos_milli",
+        )
+    )
+
+
 def _spread(df: DataFrame, n_rows: int) -> DataFrame:
     """Explicitly widen the streamed side of a dense kernel. The tiny
     shuffle outputs (or single parquet files) feeding these mapInPandas
@@ -336,11 +410,20 @@ def embedding_near_dup_pairs(
 
         # LSH candidates with exact re-score ≥ threshold: reuse the bucketed
         # top-k machinery with k → corpus (every candidate above threshold
-        # survives the window), then threshold + orient the pair
-        topk = lsh_cosine_topk(
-            corpus, corpus, k=n_corpus, dim=dim, id_col=id_col,
-            vec_col=vec_col, exclude_self=True, **(lsh_conf or {}),
-        )
+        # survives the window), then threshold + orient the pair. Struct
+        # ids take the guarded 64-bit surrogate bridge (the ANN kernels
+        # need scalar ids); the pair orientation below works unchanged —
+        # Spark orders structs lexicographically by field.
+        if corpus.schema[id_col].dataType.typeName() == "struct":
+            topk = _lsh_topk_struct_bridged(
+                corpus, corpus, k=n_corpus, dim=dim, id_col=id_col,
+                vec_col=vec_col, exclude_self=True, lsh_conf=lsh_conf,
+            )
+        else:
+            topk = lsh_cosine_topk(
+                corpus, corpus, k=n_corpus, dim=dim, id_col=id_col,
+                vec_col=vec_col, exclude_self=True, **(lsh_conf or {}),
+            )
         return (
             topk.where(
                 (F.col("cos_milli") >= min_milli)
@@ -432,41 +515,10 @@ def embedding_dense_topk(
         from .knn import lsh_cosine_topk
 
         if corpus.schema[id_col].dataType.typeName() == "struct":
-            # ANN kernels need scalar ids: bridge 128-bit struct ids with
-            # a 64-bit SURROGATE (xxhash64 of the canonical JSON key) and
-            # join the original ids back onto the result. Surrogate
-            # collisions mis-attribute a neighbor with p ≈ n²/2⁶⁵ —
-            # negligible against the fallback's own recall < 1 contract
-            # (the EXACT paths never do this; they carry the full id).
-            surr = lambda c: F.xxhash64(F.to_json(F.col(c)))
-            q2 = queries.select(
-                surr(id_col).alias(id_col), F.col(vec_col)
-            )
-            c2 = (
-                q2 if queries is corpus
-                else corpus.select(
-                    surr(id_col).alias(id_col), F.col(vec_col)
-                )
-            )
-            topk = lsh_cosine_topk(
-                q2, c2, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
-                exclude_self=exclude_self, **(lsh_conf or {}),
-            )
-            qmap = queries.select(
-                surr(id_col).alias("__qs"), F.col(id_col).alias("__qid")
-            ).distinct()
-            cmap = corpus.select(
-                surr(id_col).alias("__cs"), F.col(id_col).alias("__cid")
-            ).distinct()
-            return (
-                topk.join(qmap, topk["query_id"] == qmap["__qs"])
-                .join(cmap, topk["neighbor_id"] == cmap["__cs"])
-                .select(
-                    F.col("__qid").alias("query_id"),
-                    F.col("__cid").alias("neighbor_id"),
-                    "rank",
-                    "cos_milli",
-                )
+            return _lsh_topk_struct_bridged(
+                queries, corpus, k=k, dim=dim, id_col=id_col,
+                vec_col=vec_col, exclude_self=exclude_self,
+                lsh_conf=lsh_conf,
             )
         return lsh_cosine_topk(
             queries, corpus, k=k, dim=dim, id_col=id_col, vec_col=vec_col,

@@ -2476,9 +2476,10 @@ agg AS (
 SELECT n AS n_records,
        sp // n AS bcubed_precision_micro,
        sr // n AS bcubed_recall_micro,
-       CASE WHEN (sp // n) + (sr // n) > 0
+       CASE WHEN n > 0 AND (sp // n) + (sr // n) > 0
             THEN (2 * (sp // n) * (sr // n)) // ((sp // n) + (sr // n))
-            ELSE 0 END
+            WHEN n > 0 THEN 0
+            ELSE NULL END
          AS bcubed_f1_micro
 FROM agg
 """

@@ -31,6 +31,23 @@ def test_lanes_are_independent(spark):
     assert df.select("cid.h2").distinct().count() == 1000
 
 
+def test_lane2_not_chained_from_lane1(spark):
+    """Spark's multi-arg xxhash64 chains columns through one running
+    state, so a TRAILING salt makes h2 == hashLong(SALT, seed=h1) — a
+    pure function of h1 (any h1 collision implies an h2 collision,
+    collapsing the struct to 64-bit resistance). content_id128 hashes
+    the salt FIRST; pin that h2 differs from the chained trailing-salt
+    value for every sampled key."""
+    from polyfuzz_spark.functions.ids import _LANE2_SALT
+
+    df = spark.range(500).select(F.col("id").cast("string").alias("key"))
+    bad = df.where(
+        content_id128("key")["h2"]
+        == F.xxhash64(F.col("key"), F.lit(_LANE2_SALT))
+    ).count()
+    assert bad == 0
+
+
 def test_multi_column_id_differs_from_concat_ambiguity(spark):
     """("ab","c") and ("a","bc") must hash differently — xxhash64 over
     multiple columns is not a plain concat."""
@@ -144,6 +161,61 @@ def test_struct_ids_bridge_the_lsh_fallback(spark, monkeypatch):
         assert tuple(r.query_id) in valid
         assert tuple(r.neighbor_id) in valid
         assert tuple(r.query_id) != tuple(r.neighbor_id)
+
+
+def test_struct_ids_bridge_the_near_dup_lsh_fallback(spark, monkeypatch):
+    """embedding_near_dup_pairs over the broadcast budget must ALSO take
+    the surrogate bridge with struct ids (the twin of the dense_topk
+    bridge) and keep its unordered-pair orientation on the restored
+    struct ids."""
+    from polyfuzz_spark.operators import dense_cosine as dc
+
+    rows = [(i, [float(i % 5 + 1), float((i * 7) % 3 + 1)]) for i in
+            range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select(
+        content_id128(F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    monkeypatch.setattr(dc, "BROADCAST_MAX_DOCS", 10)  # force fallback
+    out = dc.embedding_near_dup_pairs(
+        df, threshold=0.95, lsh_conf={"n_planes": 2, "n_tables": 4}
+    )
+    f = dict(zip(out.schema.names, out.schema.fields))
+    assert f["from_id"].dataType.typeName() == "struct"
+    assert f["to_id"].dataType.typeName() == "struct"
+    got = out.collect()
+    assert got, "near-dup LSH fallback returned nothing"
+    valid = {tuple(r.vec_id) for r in df.select("vec_id").collect()}
+    seen = set()
+    for r in got:
+        fid, tid = tuple(r.from_id), tuple(r.to_id)
+        assert fid in valid and tid in valid and fid < tid
+        assert (fid, tid) not in seen  # each unordered pair exactly once
+        seen.add((fid, tid))
+        assert r.cos_milli >= 950
+
+
+def test_surrogate_collision_raises(spark, monkeypatch):
+    """A planted surrogate collision (constant surrogate expression) must
+    raise from the injectivity guard instead of silently fanning out the
+    restore join."""
+    import pytest
+
+    from polyfuzz_spark.operators import dense_cosine as dc
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    ).select(
+        content_id128(F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    monkeypatch.setattr(dc, "BROADCAST_MAX_DOCS", 1)
+    monkeypatch.setattr(dc, "_surrogate_expr", lambda c: F.lit(7))
+    with pytest.raises(ValueError, match="surrogate collided"):
+        dc.embedding_dense_topk(df, df, k=1)
 
 
 def test_id_codec_rank_semantics():

@@ -174,6 +174,24 @@ def test_bcubed_empty_input_is_null_not_error(spark):
     assert row.bcubed_f1_micro is None
 
 
+def test_bcubed_oracle_twin_empty_input_matches_nulls():
+    """The DuckDB SQL twin must mirror metrics.bcubed on the empty edge:
+    all-NULL metrics (the pre-fix twin's f1 CASE fell through to ELSE 0
+    because NULL > 0 is not true)."""
+    import duckdb
+
+    from polyfuzz_spark.queries import ORACLE_BCUBED_EMB
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT CAST(NULL AS BIGINT) AS vec_id, "
+        "CAST(NULL AS DOUBLE[]) AS embedding, CAST(NULL AS VARCHAR) AS "
+        "label WHERE FALSE"
+    )
+    n, p, r, f1 = con.execute(ORACLE_BCUBED_EMB).fetchone()
+    assert n is None and p is None and r is None and f1 is None
+
+
 def test_fs_field_stats_exact_counts(spark):
     from polyfuzz_spark.metrics import fs_field_stats
 
