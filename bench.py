@@ -250,6 +250,121 @@ def run_curation_pipeline(spark, sf: float) -> dict:
         shutil.rmtree(run_dir, ignore_errors=True)
 
 
+def _run_json_subprocess(cmd: list[str], env_extra: dict | None = None) -> dict:
+    """Run a child that prints one JSON object (last stdout line) and
+    parse it. Child stderr passes through (Spark progress noise)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    res = subprocess.run(
+        cmd, env=env, stdout=subprocess.PIPE, text=True, check=True
+    )
+    lines = [ln for ln in res.stdout.splitlines() if ln.strip()]
+    return json.loads(lines[-1])
+
+
+def run_scaling(levels: list[int], entities: int,
+                steal_ceiling: float) -> None:
+    """The two-cluster-size evidence protocol, folded in from operator
+    lore (BASELINE.md "Round-4 two-parallelism evidence") so numbers stay
+    comparable across rounds without re-deriving the method:
+
+    - each parallelism level P runs PINNED (``taskset -c 0-(P-1)``) so
+      foreign tenant load can't donate cores to a low-P leg (which
+      deflates speedups) and the JVM can't borrow idle ones;
+    - every ER leg gets an ADJACENT pure-JVM burn
+      (scripts/burn_calibration.py) — the machine's own thread-scaling
+      ceiling in that host window; quote ceiling-relative efficiency
+      (pipeline speedup / burn speedup), never raw;
+    - legs whose machine-wide steal exceeds ``steal_ceiling`` are re-run
+      once and flagged ``contended`` if still over — a single
+      high-steal wall number is a host-load sample, not a measurement;
+    - ``tree_cpu_sec`` (own process tree) is carried per leg as the
+      foreign-tenant-insensitive denominator.
+
+    The honest N→4N signal on ONE box is the LOW pair (e.g. 2→8): above
+    ~8 concurrent Python kernels the shared L3/memory bus — a resource a
+    real 4N-node cluster multiplies but one box cannot — dominates, and
+    8→32 inverts (BASELINE.md, round 4). Emits one JSON line.
+    """
+    here = os.path.join(REPO, "bench.py")
+    burn_script = os.path.join(REPO, "scripts", "burn_calibration.py")
+    legs = {}
+    for p in levels:
+        pin = ["taskset", "-c", f"0-{p - 1}"]
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+            import subprocess
+
+            subprocess.run(
+                pin + [sys.executable, burn_script, str(p), tf.name],
+                check=True,
+            )
+            burn = json.load(open(tf.name))
+        env = {
+            "SPARK_GRAFT_BENCH_ONLY": "er",
+            "SPARK_GRAFT_CPUS": str(p),
+            "SPARK_GRAFT_ER_ENTITIES": str(entities),
+        }
+        leg = _run_json_subprocess(pin + [sys.executable, here], env)
+        if leg.get("host_steal_frac", 0) > steal_ceiling:
+            rerun = _run_json_subprocess(pin + [sys.executable, here], env)
+            if rerun.get("host_steal_frac", 0) <= leg["host_steal_frac"]:
+                leg = rerun
+        legs[p] = {
+            "er_total_sec": leg["er"]["er_total_sec"],
+            "er_block_sec": leg["er"]["er_block_sec"],
+            "er_score_sec": leg["er"]["er_score_sec"],
+            "er_cluster_sec": leg["er"]["er_cluster_sec"],
+            "pairs_scored": leg["pairs_scored"],
+            "pairs_per_sec": leg["pairs_per_sec"],
+            "pairwise_f1": leg["pairwise_f1"],
+            "tree_cpu_sec": leg["tree_cpu_sec"],
+            "host_steal_frac": leg.get("host_steal_frac"),
+            "burn_sec": burn["burn_sec"],
+            "burn_steal_frac": burn.get("host_steal_frac"),
+            "contended": leg.get("host_steal_frac", 0) > steal_ceiling,
+        }
+    pairs = {}
+    for lo, hi in zip(levels, levels[1:]):
+        a, b = legs[lo], legs[hi]
+        pipe_speedup = a["er_total_sec"] / b["er_total_sec"]
+        burn_speedup = a["burn_sec"] / b["burn_sec"]
+        ratio = hi / lo
+        pairs[f"{lo}->{hi}"] = {
+            "pipeline_speedup": round(pipe_speedup, 3),
+            "burn_speedup": round(burn_speedup, 3),
+            "raw_efficiency": round(pipe_speedup / ratio, 3),
+            "ceiling_relative_efficiency": round(
+                pipe_speedup / burn_speedup, 3
+            ),
+            "block_stage_speedup": round(
+                a["er_block_sec"] / b["er_block_sec"], 3
+            ),
+        }
+    # parallelism invariance: identical workload + identical result
+    # quality at every level, or the speedups compare different jobs
+    assert len({l["pairs_scored"] for l in legs.values()}) == 1, (
+        "pairs_scored differs across parallelism levels"
+    )
+    assert len({l["pairwise_f1"] for l in legs.values()}) == 1, (
+        "pairwise F1 differs across parallelism levels"
+    )
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "protocol": (
+            "pinned taskset legs, adjacent pure-JVM burn ceiling per "
+            f"level, steal ceiling {steal_ceiling}, single-shot cold "
+            "runs (re-run once if contended)"
+        ),
+        "entities": entities,
+        "levels": {str(k): v for k, v in legs.items()},
+        "pairs": pairs,
+    }))
+
+
 def main() -> None:
     from polyfuzz_spark.session import get_spark
 
@@ -338,4 +453,29 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        import argparse
+
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--scaling", action="store_true")
+        ap.add_argument(
+            "--levels", default="2,8,32",
+            help="comma-separated pinned parallelism levels, ascending",
+        )
+        ap.add_argument(
+            "--entities", type=int, default=500_000,
+            help="synthetic corpus entities (500k -> ~1.25M docs, the "
+            "BASELINE.md protocol size)",
+        )
+        ap.add_argument(
+            "--steal-ceiling", type=float, default=0.01,
+            help="max machine-wide steal fraction before a leg re-runs",
+        )
+        args = ap.parse_args()
+        run_scaling(
+            [int(x) for x in args.levels.split(",")],
+            args.entities,
+            args.steal_ceiling,
+        )
+    else:
+        main()

@@ -18,7 +18,10 @@ keys, term hashes inside bounded blocks, and any digest whose source
 value travels alongside it (e.g. ``cluster_id = xxhash64(representative)``
 where ``representative`` is the authoritative key) — there a collision
 costs a few extra comparisons or is recoverable from the carried value,
-never a silent identity merge.
+never a silent identity merge. Cluster CONSUMERS therefore key on the
+representative, not the digest: ``dup_cluster_sizes``/``golden_records``
+group by ``rep``, and ``metrics.pairwise_f1`` prefers ``rep_doc_id`` over
+``cluster_id`` when the assignments carry it.
 """
 
 from __future__ import annotations

@@ -67,7 +67,16 @@ def pairwise_f1(
 
     A pair is positive when entity_ids match; predicted-positive when both
     sides landed in the same cluster.
+
+    Cluster equality prefers the AUTHORITATIVE representative
+    (``rep_doc_id``, carried by the pipeline's clusters artifact) over the
+    64-bit ``cluster_id`` digest whenever it is present — a digest
+    collision (p ≈ n²/2⁶⁵) would count two distinct clusters as one here;
+    the representative cannot (see functions/ids.py collision semantics).
     """
+    ckey = (
+        "rep_doc_id" if "rep_doc_id" in assignments.columns else "cluster_id"
+    )
     cand = (
         candidates.where(F.col("from_id") < F.col("to_id"))
         .select("from_id", "to_id")
@@ -77,7 +86,7 @@ def pairwise_f1(
         F.col("doc_id").alias(side), F.col("entity_id").alias(f"e_{side}")
     )
     asg = lambda side: assignments.select(
-        F.col("doc_id").alias(side), F.col("cluster_id").alias(f"c_{side}")
+        F.col("doc_id").alias(side), F.col(ckey).alias(f"c_{side}")
     )
     scored = (
         cand.join(lab("from_id"), "from_id")

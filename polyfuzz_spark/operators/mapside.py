@@ -143,6 +143,19 @@ def fit_idf_mapside(docs: DataFrame, key_col: str = "key",
     return TfidfModel(idf=idf, n_docs=n_docs, config=cfg)
 
 
+# Intra-kernel cache blocking for the packed vectorizer: docs per slice
+# inside each Arrow batch (None = whole batch). At 32 concurrent Python
+# kernels the box's one shared L3 divides 32 ways, so the full-batch flat
+# gram/sort working set (~10k docs × ~40 grams × 8 B plus the argsort)
+# falls out of cache; an Arrow 10k→2k batch A/B measured 1.23× on this
+# kernel (BASELINE.md round 4) but shrinking the GLOBAL Arrow batch conf
+# trades away the other kernels' batch width — slicing inside the kernel
+# lands the locality win locally. Value picked by the round-5 slice sweep
+# (scripts/vectorizer_slice_bench.py); captured at call time into the
+# broadcast so tests/sweeps can monkeypatch it.
+VECTORIZER_SLICE_DOCS: int | None = None
+
+
 def vectorize_packed_mapside(
     model: TfidfModel, docs: DataFrame, key_col: str = "key",
     id_col: str = "doc_id", compact: bool = False,
@@ -181,13 +194,13 @@ def vectorize_packed_mapside(
     else:
         vpack = None
     bc = spark.sparkContext.broadcast(
-        (vocab, model.config, compact, vpack)
+        (vocab, model.config, compact, vpack, VECTORIZER_SLICE_DOCS)
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.pygrams import doc_grams_py
 
-        vocab_l, cfg, compact_l, vpack_l = bc.value
+        vocab_l, cfg, compact_l, vpack_l, slice_docs = bc.value
 
         def out_pdf(ids, ts, ws):
             # explicit dtypes: a batch whose docs are ALL gram-less (or out
@@ -210,13 +223,23 @@ def vectorize_packed_mapside(
                 # whole-batch: flat gram array → vocab searchsorted → one
                 # stable sort on (doc, tid) → run-length tf counts × idf
                 # (exactly the relational path's tf*idf product, tfidf.py);
-                # only the per-doc L2 norm stays a loop (exact w@w dots)
+                # only the per-doc L2 norm stays a loop (exact w@w dots).
+                # CACHE-BLOCKED: each Arrow batch is processed in
+                # ``slice_docs``-doc slices so the flat gram/sort arrays
+                # stay cache-resident — computations are per-doc
+                # independent, so output is bit-identical to the unsliced
+                # kernel (see VECTORIZER_SLICE_DOCS for the measurement).
                 vk, vtid, vidf = vpack_l
                 V = np.int64(vk.size)
-                parts = list(
-                    _iter_gram_windows(list(pdf[key_col]), cfg)
-                )
-                if parts:
+                keys_all = list(pdf[key_col])
+                ids_all = pdf[id_col].to_numpy()
+                step = slice_docs or len(keys_all) or 1
+                for lo in range(0, len(keys_all), step):
+                    parts = list(
+                        _iter_gram_windows(keys_all[lo:lo + step], cfg)
+                    )
+                    if not parts:
+                        continue
                     doc_of = np.concatenate([p[0] for p in parts])
                     g = np.concatenate([p[1] for p in parts])
                     pos = np.searchsorted(vk, g)
@@ -242,7 +265,7 @@ def vectorize_packed_mapside(
                         bounds = np.append(
                             np.nonzero(doc_run)[0], d_u.size
                         )
-                        ids_np = pdf[id_col].to_numpy()
+                        ids_np = ids_all[lo:lo + step]
                         for a, b in zip(bounds[:-1], bounds[1:]):
                             wts = w_all[a:b].copy()
                             wts /= np.sqrt(wts @ wts)

@@ -112,6 +112,27 @@ def test_blocking_quality_zero_denominators_yield_null(spark):
     assert row.reduction_ratio_milli == 1000
 
 
+def test_pairwise_f1_prefers_representative_over_digest(spark):
+    """A planted cluster_id digest collision across two DISTINCT clusters
+    must not count their cross pair as predicted-positive when the
+    authoritative rep_doc_id travels with the assignments."""
+    from polyfuzz_spark.metrics import pairwise_f1
+
+    cand = spark.createDataFrame([(1, 2)], "from_id long, to_id long")
+    labels = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, entity_id string"
+    )
+    collided = spark.createDataFrame(
+        [(1, 777, 1), (2, 777, 2)],  # same digest, different representative
+        "doc_id long, cluster_id long, rep_doc_id long",
+    )
+    res = pairwise_f1(cand, labels, collided)
+    assert res["fp"] == 0  # digest-keyed equality would make this 1
+    # without the representative the digest is all we have (documented)
+    digest_only = collided.select("doc_id", "cluster_id")
+    assert pairwise_f1(cand, labels, digest_only)["fp"] == 1
+
+
 def test_bcubed_exact_values(spark):
     from polyfuzz_spark.metrics import bcubed
 
