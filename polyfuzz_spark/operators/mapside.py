@@ -75,6 +75,17 @@ def fit_idf_light(docs: DataFrame, key_col: str = "key",
     return TfidfModel(idf=idf, n_docs=n_docs, config=cfg)
 
 
+# Cache blocking for the fit/minhash gram kernels — same mechanism and
+# rationale as VECTORIZER_SLICE_DOCS below (the three kernels share
+# _iter_gram_windows and the 32-thread shared-L3 regime). Fit re-merges
+# per-slice partial df counts before emitting, so the shuffle still
+# carries one partial per batch; minhash concatenates per-slice
+# signatures. Both bit-identical to the unsliced kernels. Values set by
+# the round-5 A/B (see BASELINE.md round-5 section).
+FIT_SLICE_DOCS: int | None = None
+MINHASH_SLICE_DOCS: int | None = None
+
+
 def fit_idf_mapside(docs: DataFrame, key_col: str = "key",
                     cfg: TfidfConfig | None = None,
                     id_col: str = "doc_id") -> TfidfModel:
@@ -87,37 +98,66 @@ def fit_idf_mapside(docs: DataFrame, key_col: str = "key",
     117 s pipeline at 250k docs)."""
     cfg = cfg or TfidfConfig()
     n_docs = docs.count()
-    bc_cfg = docs.sparkSession.sparkContext.broadcast(cfg)
+    bc_cfg = docs.sparkSession.sparkContext.broadcast(
+        (cfg, FIT_SLICE_DOCS)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.pygrams import doc_grams_py
 
-        cfg_l = bc_cfg.value
+        cfg_l, slice_docs = bc_cfg.value
         batched = cfg_l.clean_string and cfg_l.n_gram_range[1] <= 8
         for pdf in batches:
             if batched:
                 # whole-batch: distinct (gram, doc) pairs via one lexsort,
                 # document frequency via run lengths over the gram runs —
-                # integer counts, so identical to the dict accumulation
-                parts = list(_iter_gram_windows(list(pdf[key_col]), cfg_l))
-                if not parts:
+                # integer counts, so identical to the dict accumulation.
+                # Cache-blocked: each ``slice_docs`` slice dedups and
+                # run-counts its own (already ~5x smaller) gram set, and
+                # the per-slice (gram, df) partials re-merge with ONE
+                # final sort-reduce so the shuffle still carries one
+                # partial per batch — df is additive, so counts are
+                # identical to the unsliced lexsort.
+                keys_all = list(pdf[key_col])
+                step = slice_docs or len(keys_all) or 1
+                pg, pc = [], []
+                for lo in range(0, len(keys_all), step):
+                    parts = list(
+                        _iter_gram_windows(keys_all[lo:lo + step], cfg_l)
+                    )
+                    if not parts:
+                        continue
+                    doc_of = np.concatenate([p[0] for p in parts])
+                    g = np.concatenate([p[1] for p in parts])
+                    order = np.lexsort((doc_of, g))
+                    gs, ds = g[order], doc_of[order]
+                    first = np.ones(gs.size, dtype=bool)
+                    first[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
+                    gu = gs[first]  # distinct (gram, doc), gram-major
+                    run = np.ones(gu.size, dtype=bool)
+                    run[1:] = gu[1:] != gu[:-1]
+                    starts = np.nonzero(run)[0]
+                    pg.append(gu[starts])
+                    pc.append(np.diff(np.append(starts, gu.size)))
+                if not pg:
                     yield pd.DataFrame({"term": [], "pdf_": []}).astype(
                         {"term": "object", "pdf_": "int64"}
                     )
                     continue
-                doc_of = np.concatenate([p[0] for p in parts])
-                g = np.concatenate([p[1] for p in parts])
-                order = np.lexsort((doc_of, g))
-                gs, ds = g[order], doc_of[order]
-                first = np.ones(gs.size, dtype=bool)
-                first[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
-                gu = gs[first]  # distinct (gram, doc), gram-major order
-                run = np.ones(gu.size, dtype=bool)
-                run[1:] = gu[1:] != gu[:-1]
-                starts = np.nonzero(run)[0]
-                dfc = np.diff(np.append(starts, gu.size))
+                if len(pg) == 1:
+                    gu_b, dfc = pg[0], pc[0]
+                else:
+                    g_all = np.concatenate(pg)
+                    c_all = np.concatenate(pc)
+                    order = np.argsort(g_all, kind="stable")
+                    g_all, c_all = g_all[order], c_all[order]
+                    run = np.ones(g_all.size, dtype=bool)
+                    run[1:] = g_all[1:] != g_all[:-1]
+                    starts = np.nonzero(run)[0]
+                    gu_b = g_all[run]
+                    dfc = np.add.reduceat(c_all, starts)
                 yield pd.DataFrame(
-                    {"term": _unpack_u64_terms(gu[starts]), "pdf_": dfc}
+                    {"term": _unpack_u64_terms(gu_b), "pdf_": dfc}
                 )
                 continue
             df_counts: dict[str, int] = {}
@@ -150,10 +190,13 @@ def fit_idf_mapside(docs: DataFrame, key_col: str = "key",
 # falls out of cache; an Arrow 10k→2k batch A/B measured 1.23× on this
 # kernel (BASELINE.md round 4) but shrinking the GLOBAL Arrow batch conf
 # trades away the other kernels' batch width — slicing inside the kernel
-# lands the locality win locally. Value picked by the round-5 slice sweep
-# (scripts/vectorizer_slice_bench.py); captured at call time into the
-# broadcast so tests/sweeps can monkeypatch it.
-VECTORIZER_SLICE_DOCS: int | None = None
+# lands the locality win locally. Round-5 sweep at 1.25M docs / local[32]
+# (scripts/vectorizer_slice_bench.py, min-of-2): None 13.26 s, 8192
+# 8.36 s, 4096 7.51 s, 2048 7.76 s, 1024 7.48 s, 512 7.17 s — 1.8× with
+# a flat basin below 4096; 1024 sits mid-basin (512's extra 4% is within
+# noise and smaller slices risk per-slice overhead on wider vocabs).
+# Captured at call time into the broadcast so tests/sweeps monkeypatch it.
+VECTORIZER_SLICE_DOCS: int | None = 1024
 
 
 def vectorize_packed_mapside(
@@ -463,17 +506,33 @@ def minhash_bands_mapside(
     id_ddl = id_type(docs, id_col)
     batched = cfg.clean_string and cfg.n_gram_range[1] <= 8
     bc = spark.sparkContext.broadcast(
-        (A, B, A2, cfg, bands, rows_per_band, batched)
+        (A, B, A2, cfg, bands, rows_per_band, batched, MINHASH_SLICE_DOCS)
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.pygrams import doc_grams_py
 
-        A_l, B_l, A2_l, cfg_l, n_bands, rpb, batched_l = bc.value
+        A_l, B_l, A2_l, cfg_l, n_bands, rpb, batched_l, slice_docs = bc.value
         for pdf in batches:
             if batched_l:
-                idx, sigs = _minhash_sigs_batched(
-                    list(pdf[key_col]), cfg_l, A_l, B_l
+                # cache-blocked per-slice signatures (per-doc independent
+                # minima → concatenation is bit-identical to one call)
+                keys_all = list(pdf[key_col])
+                step = slice_docs or len(keys_all) or 1
+                sl = [
+                    _minhash_sigs_batched(
+                        keys_all[lo:lo + step], cfg_l, A_l, B_l
+                    )
+                    for lo in range(0, len(keys_all), step)
+                ]
+                sl = [(i + lo, s) for (i, s), lo in zip(
+                    sl, range(0, len(keys_all), step)
+                )]
+                idx = np.concatenate([i for i, _ in sl]) if sl else (
+                    np.empty(0, dtype=np.int64)
+                )
+                sigs = np.concatenate([s for _, s in sl]) if sl else (
+                    np.empty((0, len(A_l)), dtype=np.uint64)
                 )
                 if not len(idx):
                     yield pd.DataFrame(

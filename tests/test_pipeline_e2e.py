@@ -369,6 +369,77 @@ def test_batched_fit_vectorize_bit_identical(spark):
     assert n_checked > 50
 
 
+def test_cache_blocked_vectorizer_bit_identical(spark, monkeypatch):
+    """Intra-kernel cache blocking (VECTORIZER_SLICE_DOCS) must be
+    invisible in the output: per-doc computations are independent, so a
+    tiny slice (forcing many slices per Arrow batch) reproduces the
+    unsliced packed vectors bit-for-bit, in doc_id coverage and float64
+    weights."""
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.operators import mapside
+    from polyfuzz_spark.operators.mapside import (
+        fit_idf_mapside,
+        vectorize_packed_mapside,
+    )
+    from polyfuzz_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, n_entities=60, seed=5)
+    docs = corpus.select("doc_id", F.col("content").alias("key"))
+    model = fit_idf_mapside(docs, "key")
+
+    def canon():
+        return sorted(
+            (r["doc_id"], tuple(r["t"]), tuple(r["w"]))
+            for r in vectorize_packed_mapside(model, docs, "key").collect()
+        )
+
+    monkeypatch.setattr(mapside, "VECTORIZER_SLICE_DOCS", None)
+    base = canon()
+    assert len(base) > 50
+    monkeypatch.setattr(mapside, "VECTORIZER_SLICE_DOCS", 3)
+    assert canon() == base
+
+
+def test_cache_blocked_fit_and_minhash_bit_identical(spark, monkeypatch):
+    """FIT_SLICE_DOCS / MINHASH_SLICE_DOCS must be invisible: per-slice
+    df partials re-merge to the same integer counts (hence identical IDF
+    values), and per-slice MinHash signatures concatenate to identical
+    band keys."""
+    from pyspark.sql import functions as F
+
+    from polyfuzz_spark.operators import mapside
+    from polyfuzz_spark.operators.mapside import (
+        fit_idf_mapside,
+        minhash_bands_mapside,
+    )
+    from polyfuzz_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, n_entities=60, seed=7)
+    docs = corpus.select("doc_id", F.col("content").alias("key"))
+
+    def fit_canon():
+        return sorted(
+            (r["term"], r["idf"])
+            for r in fit_idf_mapside(docs, "key").idf.collect()
+        )
+
+    def mh_canon():
+        return sorted(
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in minhash_bands_mapside(docs).collect()
+        )
+
+    monkeypatch.setattr(mapside, "FIT_SLICE_DOCS", None)
+    monkeypatch.setattr(mapside, "MINHASH_SLICE_DOCS", None)
+    fit_base, mh_base = fit_canon(), mh_canon()
+    assert len(fit_base) > 20 and len(mh_base) > 100
+    monkeypatch.setattr(mapside, "FIT_SLICE_DOCS", 3)
+    monkeypatch.setattr(mapside, "MINHASH_SLICE_DOCS", 3)
+    assert fit_canon() == fit_base
+    assert mh_canon() == mh_base
+
+
 def test_crash_after_scores_resumes_hash_equal(spark, tmp_path, monkeypatch):
     """Crash-mid-run resume contract as a fast fixture (VERDICT r02 item
     7): kill the run AFTER the scores checkpoint lands (mid-matches),
