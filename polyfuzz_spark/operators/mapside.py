@@ -80,10 +80,14 @@ def fit_idf_light(docs: DataFrame, key_col: str = "key",
 # _iter_gram_windows and the 32-thread shared-L3 regime). Fit re-merges
 # per-slice partial df counts before emitting, so the shuffle still
 # carries one partial per batch; minhash concatenates per-slice
-# signatures. Both bit-identical to the unsliced kernels. Values set by
-# the round-5 A/B (see BASELINE.md round-5 section).
-FIT_SLICE_DOCS: int | None = None
-MINHASH_SLICE_DOCS: int | None = None
+# signatures. Both bit-identical to the unsliced kernels. Round-5 A/B at
+# 1.25M docs / local[32], alternating on/off (BASELINE.md round 5): fit
+# 45.5/27.4 s unsliced vs 6.4/4.9 s sliced (the batch-global lexsort over
+# ~5x-repeated grams was the fit kernel's real cost — per-slice dedup
+# shrinks the final merge's input too); minhash 9.4→6.6 s and 14.6→11.3 s
+# in its two adjacent pairs (~1.3x).
+FIT_SLICE_DOCS: int | None = 1024
+MINHASH_SLICE_DOCS: int | None = 1024
 
 
 def fit_idf_mapside(docs: DataFrame, key_col: str = "key",
