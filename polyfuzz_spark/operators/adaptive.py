@@ -44,7 +44,19 @@ SCALE_KNOBS = {
     "num_hashes": 64, "bands": 16, "max_bucket_size": 200,
     "min_shared_bands": 2,
 }
+# Above ~10M docs of a shared-template corpus the SCALE tier's capped
+# bound itself grows past any budget (the 10M curation leg measured
+# 2.43B capped pairs AT SCALE knobs — BASELINE.md round 5): hot-band
+# mass grows super-linearly, so the cap must tighten with corpus size.
+# C(100,2) per hot bucket is 4x less join fan-out than C(200,2), and
+# >=3 shared bands prunes template-coincidence candidates the 2-band
+# filter keeps; recall loss is the documented banded-LSH tradeoff.
+XSCALE_KNOBS = {
+    "num_hashes": 64, "bands": 16, "max_bucket_size": 100,
+    "min_shared_bands": 3,
+}
 BLOCKED_KNOBS_MIN_DOCS = 500_000  # monkeypatchable in tests
+XSCALE_MIN_DOCS = 8_000_000
 
 
 # the banded join's OUTPUT budget for auto-resolved knobs: above this the
@@ -96,6 +108,18 @@ def enforce_pair_budget(
         )
         out["min_shared_bands"] = max(out["min_shared_bands"] or 1, 2)
         demoted = True
+        # second step: a shared-template corpus can exceed the budget AT
+        # the SCALE cap (10M-doc leg: 2.43B capped pairs — the demotion
+        # had nothing stricter to reach). Re-measure under the SCALE cap
+        # and fall through to the XSCALE tier if still over. One extra
+        # map-side agg, paid only in the already-over-budget case.
+        if capped_pair_count(bands, out["max_bucket_size"]) > budget:
+            out["max_bucket_size"] = min(
+                XSCALE_KNOBS["max_bucket_size"], out["max_bucket_size"]
+            )
+            out["min_shared_bands"] = max(
+                out["min_shared_bands"], XSCALE_KNOBS["min_shared_bands"]
+            )
     if stats is not None:
         stats["capped_pairs_at_resolved"] = measured
         stats["pair_budget"] = budget
@@ -116,11 +140,13 @@ def resolve_blocking_knobs(
 ) -> dict:
     """Blocking knobs for a blocked branch over ``n_docs`` documents:
     the size-appropriate regime (PERMISSIVE below BLOCKED_KNOBS_MIN_DOCS,
-    SCALE above) with any explicitly-passed knob overriding it.
-    ``max_bucket_size`` uses a sentinel because ``None`` (no cap) is a
-    meaningful explicit value."""
+    SCALE above, XSCALE above XSCALE_MIN_DOCS) with any explicitly-passed
+    knob overriding it. ``max_bucket_size`` uses a sentinel because
+    ``None`` (no cap) is a meaningful explicit value."""
     knobs = dict(
-        SCALE_KNOBS if n_docs > BLOCKED_KNOBS_MIN_DOCS else PERMISSIVE_KNOBS
+        XSCALE_KNOBS if n_docs > XSCALE_MIN_DOCS
+        else SCALE_KNOBS if n_docs > BLOCKED_KNOBS_MIN_DOCS
+        else PERMISSIVE_KNOBS
     )
     if num_hashes is not None:
         knobs["num_hashes"] = num_hashes

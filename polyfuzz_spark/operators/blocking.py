@@ -186,11 +186,41 @@ def minhash_candidates(
             )
         demoted = measured > pair_budget
         if demoted:
+            from .adaptive import XSCALE_KNOBS
+
             max_bucket_size = min(
                 SCALE_KNOBS["max_bucket_size"],
                 max_bucket_size or SCALE_KNOBS["max_bucket_size"],
             )
             min_shared_bands = max(min_shared_bands, 2)
+            # graduated: still over budget at the SCALE cap → XSCALE tier
+            # (the 10M-leg lesson — see adaptive.enforce_pair_budget)
+            mf2 = F.least(F.count(F.lit(1)), F.lit(int(max_bucket_size)))
+            f2 = f_bands.groupBy("band", "band_key").agg(mf2.alias("mf"))
+            if t_bands is None:
+                still = int(
+                    f2.agg(F.coalesce(
+                        F.sum(F.col("mf") * (F.col("mf") - 1) / 2),
+                        F.lit(0.0),
+                    )).collect()[0][0]
+                )
+            else:
+                t2 = t_bands.groupBy("band", "band_key").agg(
+                    mf2.alias("mt")
+                )
+                still = int(
+                    f2.join(t2, ["band", "band_key"])
+                    .agg(F.coalesce(
+                        F.sum(F.col("mf") * F.col("mt")), F.lit(0.0)
+                    )).collect()[0][0]
+                )
+            if still > pair_budget:
+                max_bucket_size = min(
+                    XSCALE_KNOBS["max_bucket_size"], max_bucket_size
+                )
+                min_shared_bands = max(
+                    min_shared_bands, XSCALE_KNOBS["min_shared_bands"]
+                )
         if budget_stats is not None:
             budget_stats.update(
                 measured_pairs=measured, pair_budget=pair_budget,

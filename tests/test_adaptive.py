@@ -244,6 +244,7 @@ def test_blocking_knob_resolver_regimes():
 
     assert adaptive.resolve_blocking_knobs(1000) == adaptive.PERMISSIVE_KNOBS
     assert adaptive.resolve_blocking_knobs(10**6) == adaptive.SCALE_KNOBS
+    assert adaptive.resolve_blocking_knobs(10**7) == adaptive.XSCALE_KNOBS
     k = adaptive.resolve_blocking_knobs(10**6, bands=8, max_bucket_size=None)
     assert k["bands"] == 8 and k["max_bucket_size"] is None
     assert k["num_hashes"] == 64 and k["min_shared_bands"] == 2
@@ -397,9 +398,12 @@ def test_minhash_candidates_pair_budget_gate(spark):
     )
     assert stats["demoted"] is True
     assert stats["measured_pairs"] >= 16 * 400  # 16 bands × 20×20
+    # still over budget at the SCALE cap → the graduated gate lands on
+    # the XSCALE tier (10M-leg lesson)
     assert stats["max_bucket_size"] == \
-        adaptive.SCALE_KNOBS["max_bucket_size"]
-    assert stats["min_shared_bands"] == 2
+        adaptive.XSCALE_KNOBS["max_bucket_size"]
+    assert stats["min_shared_bands"] == \
+        adaptive.XSCALE_KNOBS["min_shared_bands"]
     # identical docs share all bands → every cross pair still a candidate
     assert cands.count() == 400
 

@@ -295,9 +295,12 @@ def test_enforce_pair_budget_demotes_and_records(spark):
     )
     knobs = dict(adaptive.PERMISSIVE_KNOBS)
     stats: dict = {}
+    # still over budget AT the SCALE cap (30-doc bucket, budget 10) →
+    # the second demotion step reaches the XSCALE tier (10M-leg lesson)
     out = adaptive.enforce_pair_budget(bands, knobs, budget=10, stats=stats)
-    assert out["max_bucket_size"] == adaptive.SCALE_KNOBS["max_bucket_size"]
-    assert out["min_shared_bands"] == 2
+    assert out["max_bucket_size"] == adaptive.XSCALE_KNOBS["max_bucket_size"]
+    assert out["min_shared_bands"] == \
+        adaptive.XSCALE_KNOBS["min_shared_bands"]
     assert stats["demoted"] and stats["capped_pairs_at_resolved"] == 435
     assert "capped_pairs_at_demoted" in stats
     # under budget → untouched
@@ -306,6 +309,28 @@ def test_enforce_pair_budget_demotes_and_records(spark):
         bands, knobs, budget=1000, stats=stats2
     )
     assert out2 == knobs and not stats2["demoted"]
+
+
+def test_enforce_pair_budget_stops_at_scale_when_sufficient(spark):
+    """The demotion is graduated: a 250-doc hot bucket emits 31,125 pairs
+    permissive-capped, 19,900 under the SCALE cap, 4,950 under XSCALE —
+    a budget of 20k must stop at SCALE, a budget of 10k must continue to
+    XSCALE."""
+    from polyfuzz_spark.operators import adaptive
+
+    bands = spark.createDataFrame(
+        [(0, "hot", i) for i in range(250)],
+        "band int, band_key string, doc_id long",
+    )
+    knobs = dict(adaptive.PERMISSIVE_KNOBS)
+    out = adaptive.enforce_pair_budget(bands, knobs, budget=20_000)
+    assert out["max_bucket_size"] == adaptive.SCALE_KNOBS["max_bucket_size"]
+    assert out["min_shared_bands"] == 2
+    out2 = adaptive.enforce_pair_budget(bands, knobs, budget=10_000)
+    assert out2["max_bucket_size"] == \
+        adaptive.XSCALE_KNOBS["max_bucket_size"]
+    assert out2["min_shared_bands"] == \
+        adaptive.XSCALE_KNOBS["min_shared_bands"]
 
 
 def test_pipeline_pair_budget_gate(spark, tmp_path, monkeypatch):
@@ -320,9 +345,12 @@ def test_pipeline_pair_budget_gate(spark, tmp_path, monkeypatch):
     summary = pipe.run(corpus)
     m = json.loads(pipe._manifest("split").read_text())
     assert m["pair_budget_gate"]["demoted"] is True
+    # budget 0 is unreachable even at the SCALE cap → the graduated gate
+    # lands on the XSCALE tier
     assert m["blocking_knobs"]["max_bucket_size"] == \
-        adaptive.SCALE_KNOBS["max_bucket_size"]
-    assert m["blocking_knobs"]["min_shared_bands"] == 2
+        adaptive.XSCALE_KNOBS["max_bucket_size"]
+    assert m["blocking_knobs"]["min_shared_bands"] == \
+        adaptive.XSCALE_KNOBS["min_shared_bands"]
     assert all(s["complete"] for s in summary.values())
 
     # explicit knobs are a contract: gate skipped, stats empty
